@@ -1,0 +1,63 @@
+"""Test configuration.
+
+Forces JAX onto a virtual 8-device CPU mesh (before any jax import) so the
+sharding/pjit tests run everywhere, per the multi-chip validation strategy in
+SURVEY.md §4. Numerical bit-exactness tests are backend-independent.
+"""
+
+import os
+import subprocess
+from pathlib import Path
+
+# must happen before jax is imported anywhere
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REPO = Path(__file__).resolve().parent.parent
+REFERENCE = Path("/root/reference")
+IMAGES = REFERENCE / "images"
+ORACLE = REPO / ".oracle" / "myyuv_cli"
+
+
+def _ensure_oracle() -> bool:
+    if ORACLE.exists():
+        return True
+    script = REPO / "tools" / "build_oracle.sh"
+    if not script.exists() or not REFERENCE.exists():
+        return False
+    try:
+        subprocess.run([str(script)], check=True, capture_output=True)
+    except Exception:
+        return False
+    return ORACLE.exists()
+
+
+@pytest.fixture(scope="session")
+def oracle_cli():
+    """Path to the compiled reference CLI; skips if unbuildable."""
+    if not _ensure_oracle():
+        pytest.skip("reference oracle CLI not available")
+    return ORACLE
+
+
+@pytest.fixture(scope="session")
+def images_dir():
+    if not IMAGES.exists():
+        pytest.skip("reference golden images not available")
+    return IMAGES
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0x1F1F)
+
+
+def oracle_run(oracle_cli, *args):
+    return subprocess.run([str(oracle_cli), *map(str, args)],
+                          check=True, capture_output=True, text=True)

@@ -28,6 +28,7 @@ register_host_codecs()
 # when imported; importing it here keeps `import myyuv_tpu` one-stop.
 try:  # pragma: no cover - exercised indirectly everywhere
     from .engine import pipeline as _pipeline  # noqa: F401
+    _pipeline.register_engine_codecs()
     _HAVE_JAX_ENGINE = True
 except Exception:  # jax missing/broken: host paths remain registered
     _HAVE_JAX_ENGINE = False

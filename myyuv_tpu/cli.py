@@ -1,0 +1,216 @@
+"""Command-line driver mirroring the reference ``myyuv_cli``.
+
+Command surface (reference: myyuv_cli/main.cpp:80-98 usage, 215-244 magic
+dispatch) plus TPU-era extensions:
+
+  myyuv <image> -info
+  myyuv <image.bmp> -to_yuv IYUV [-o out.myyuv]
+  myyuv <image.myyuv> -compress DCT q [q2 q3] [-o out.myyuv]
+  myyuv <image.myyuv> -decompress [-o out.myyuv]
+  myyuv <image> -rgb [-o out.bmp]       # viewer-equivalent RGB export
+  myyuv <image> -preview [-o out.txt]   # terminal preview (viewer stand-in)
+
+Input type is sniffed from the two magic bytes ("BM" vs "YU") exactly like
+the reference (main.cpp:215-234). Each operation prints a wall-clock timing
+line "<op> : N ms" like the reference MyTimer (main.cpp:11-41).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from .formats.bmp import BMPImage
+from .formats.yuv import Compressions, FourccFormats, YUVImage
+from .runtime.errors import MyYUVError
+
+_FORMATS = {"IYUV": FourccFormats.IYUV}
+_COMPRESSIONS = {"DCT": Compressions.DCT}
+
+
+class _Timer:
+    """Wall-clock op timing, printed like the reference MyTimer
+    (myyuv_cli/main.cpp:11-41)."""
+
+    def __init__(self, label: str):
+        self.label = label
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        if exc[0] is None:
+            ms = (time.perf_counter() - self.t0) * 1e3
+            print(f"{self.label} : {ms:.3f} ms")
+
+
+def _sniff(path: Path) -> str:
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic == b"BM":
+        return "bmp"
+    if magic == b"YU":
+        return "yuv"
+    raise MyYUVError(f"Unknown image magic {magic!r} in {path}")
+
+
+def _fill_qualities(vals: List[int]) -> bytes:
+    """1-3 quality values; the last given fills the rest
+    (myyuv_cli/main.cpp:56-78)."""
+    if not 1 <= len(vals) <= 3:
+        raise MyYUVError("compress takes 1 to 3 quality parameters")
+    for v in vals:
+        if not 1 <= v <= 100:
+            raise MyYUVError("Level of quality must be between 1 and 100")
+    out = list(vals) + [vals[-1]] * (3 - len(vals))
+    return bytes(out)
+
+
+def _print_bmp_info(bmp: BMPImage) -> None:
+    h = bmp.header
+    print("BMP image")
+    print(f"  size: {h.file_size}")
+    print(f"  width: {bmp.true_width}")
+    print(f"  height: {bmp.true_height}  (stored {h.height},"
+          f" {'bottom-up' if h.height > 0 else 'top-down'})")
+    print(f"  bit_count: {h.bit_count}")
+    print(f"  data_pos: {h.data_pos}")
+
+
+def _print_yuv_info(img: YUVImage) -> None:
+    h = img.header
+    name = img.descriptor.name if h.fourcc_format in _FORMATS.values() \
+        else hex(h.fourcc_format)
+    comp = {0: "NONE", 1: "DCT"}.get(h.compression, str(h.compression))
+    print(".myyuv image")
+    print(f"  format: {name}")
+    print(f"  width: {h.width}")
+    print(f"  height: {h.height}")
+    print(f"  compression: {comp}")
+    print(f"  data_size: {h.data_size}")
+    if h.compression_params_size:
+        params = list(img.compression_params)
+        print(f"  compression_params: {params}")
+
+
+def _default_out(path: Path, suffix: str, tag: str) -> Path:
+    return path.with_name(path.stem + tag + suffix)
+
+
+def _export_rgb(img_path: Path, kind: str, out: Optional[Path]) -> None:
+    from .viewer import export
+    with _Timer("rgb export"):
+        if kind == "bmp":
+            bgrx = BMPImage.load(img_path).pixels_topdown()
+        else:
+            from .engine import pipeline
+            bgrx = pipeline.iyuv_to_bgrx(YUVImage.load(img_path))
+    out = out or _default_out(img_path, ".bmp", "-rgb")
+    export.write_bgrx_bmp(out, bgrx)
+    print(f"wrote {out}")
+
+
+def _preview(img_path: Path, kind: str, out: Optional[Path]) -> None:
+    from .viewer import export, terminal
+    if kind == "bmp":
+        bgrx = BMPImage.load(img_path).pixels_topdown()
+    else:
+        from .engine import pipeline
+        bgrx = pipeline.iyuv_to_bgrx(YUVImage.load(img_path))
+    text = terminal.render_ansi(bgrx)
+    if out:
+        Path(out).write_text(text)
+        print(f"wrote {out}")
+    else:
+        print(text)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="myyuv",
+        description="TPU-native myyuv codec CLI (reference: myyuv_cli)")
+    p.add_argument("image", type=Path)
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("-info", action="store_true")
+    g.add_argument("-to_yuv", metavar="FORMAT")
+    g.add_argument("-compress", nargs="+", metavar=("TYPE", "QUALITY"))
+    g.add_argument("-decompress", action="store_true")
+    g.add_argument("-rgb", action="store_true",
+                   help="decode to an RGB .bmp (viewer-equivalent export)")
+    g.add_argument("-preview", action="store_true",
+                   help="render to ANSI truecolor in the terminal")
+    p.add_argument("-o", "--output", type=Path, default=None)
+    args = p.parse_args(argv)
+
+    try:
+        kind = _sniff(args.image)
+
+        if args.info:
+            if kind == "bmp":
+                _print_bmp_info(BMPImage.load(args.image))
+            else:
+                _print_yuv_info(YUVImage.load(args.image))
+            return 0
+
+        if args.rgb:
+            _export_rgb(args.image, kind, args.output)
+            return 0
+
+        if args.preview:
+            _preview(args.image, kind, args.output)
+            return 0
+
+        if args.to_yuv is not None:
+            if kind != "bmp":
+                raise MyYUVError("-to_yuv needs a BMP input")
+            fmt = _FORMATS.get(args.to_yuv.upper())
+            if fmt is None:
+                raise MyYUVError(f"Unknown YUV format {args.to_yuv}")
+            bmp = BMPImage.load(args.image)
+            with _Timer("to yuv"):
+                img = YUVImage.from_bmp(bmp, fmt)
+            out = args.output or _default_out(args.image, ".myyuv", "")
+            img.dump(out)
+            print(f"wrote {out}")
+            return 0
+
+        if kind != "yuv":
+            raise MyYUVError("this command needs a .myyuv input")
+        img = YUVImage.load(args.image)
+
+        if args.compress is not None:
+            ctype = _COMPRESSIONS.get(args.compress[0].upper())
+            if ctype is None:
+                raise MyYUVError(f"Unknown compression {args.compress[0]}")
+            params = _fill_qualities([int(v) for v in args.compress[1:]])
+            with _Timer("compression"):
+                comp = img.compress(ctype, params)
+            out = args.output or _default_out(
+                args.image, ".myyuv", f"-DCT-{params[0]}")
+            comp.dump(out)
+            ratio = img.header.data_size / comp.header.data_size
+            print(f"wrote {out}  ({comp.header.data_size} bytes,"
+                  f" {ratio:.2f}x)")
+            return 0
+
+        if args.decompress:
+            with _Timer("decompression"):
+                dec = img.decompress()
+            out = args.output or _default_out(args.image, ".myyuv", "-decomp")
+            dec.dump(out)
+            print(f"wrote {out}")
+            return 0
+    except MyYUVError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

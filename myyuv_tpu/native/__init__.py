@@ -1,0 +1,130 @@
+"""ctypes binding for the native multithreaded entropy codec.
+
+Loads (building on first use if necessary) ``libmyyuv_entropy.so`` — the C++
+per-block Huffman encode/decode engine (entropy.cpp). Falls back gracefully:
+``load()`` returns None when no compiler is available, and callers (engine,
+host codec) drop back to the vectorized/py oracle paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_LIB_PATH = _DIR / "libmyyuv_entropy.so"
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+LANE = 256  # must match kLane in entropy.cpp and dct_stream.MAX_CHUNK
+
+
+def _default_threads() -> int:
+    env = os.environ.get("MYYUV_NATIVE_THREADS")
+    if env:
+        return max(1, int(env))
+    return max(1, os.cpu_count() or 1)
+
+
+def build(force: bool = False) -> bool:
+    """Compile the shared library; returns True on success."""
+    if _LIB_PATH.exists() and not force:
+        return True
+    src = _DIR / "entropy.cpp"
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
+           "-pthread", str(src), "-o", str(_LIB_PATH)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except Exception:
+        return False
+    return _LIB_PATH.exists()
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library, or None."""
+    global _lib, _load_failed
+    if _lib is not None:
+        return _lib
+    if _load_failed:
+        return None
+    if not _LIB_PATH.exists() and not build():
+        _load_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        _load_failed = True
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    lib.myyuv_encode_blocks.restype = ctypes.c_int64
+    lib.myyuv_encode_blocks.argtypes = [
+        i16p, ctypes.c_int64, u8p, u8p, ctypes.c_int32]
+    lib.myyuv_compact_lanes.restype = ctypes.c_int64
+    lib.myyuv_compact_lanes.argtypes = [
+        u8p, u8p, ctypes.c_int64, u8p, ctypes.c_int32]
+    lib.myyuv_decode_blocks.restype = ctypes.c_int64
+    lib.myyuv_decode_blocks.argtypes = [
+        u8p, u8p, ctypes.c_int64, ctypes.c_int64, i16p, ctypes.c_int32]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i16p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+
+
+def encode_blocks(coeffs: np.ndarray,
+                  n_threads: Optional[int] = None
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """int16 [N, 64] (or [N, 8, 8]) coefficients -> (chunk_sizes u8[N],
+    content u8[total]) ragged stream, parallel over blocks."""
+    lib = load()
+    assert lib is not None, "native entropy library unavailable"
+    coeffs = np.ascontiguousarray(coeffs.reshape(-1, 64), np.int16)
+    n = coeffs.shape[0]
+    lanes = np.empty((n, LANE), np.uint8)
+    sizes = np.empty(n, np.uint8)
+    nt = n_threads or _default_threads()
+    err = lib.myyuv_encode_blocks(_i16p(coeffs), n, _u8p(lanes),
+                                  _u8p(sizes), nt)
+    if err != 0:
+        raise ValueError(f"native encode failed at block {err - 1}")
+    content = np.empty(int(sizes.astype(np.int64).sum()), np.uint8)
+    lib.myyuv_compact_lanes(_u8p(lanes), _u8p(sizes), n, _u8p(content), nt)
+    return sizes, content
+
+
+def decode_blocks(sizes: np.ndarray, content: np.ndarray,
+                  n_threads: Optional[int] = None) -> np.ndarray:
+    """(chunk_sizes u8[N], content u8[total]) -> int16 [N, 64] coefficients."""
+    from ..runtime.errors import BitstreamError
+    lib = load()
+    assert lib is not None, "native entropy library unavailable"
+    sizes = np.ascontiguousarray(sizes, np.uint8)
+    content = np.ascontiguousarray(content, np.uint8)
+    n = sizes.size
+    out = np.empty((n, 64), np.int16)
+    err = lib.myyuv_decode_blocks(_u8p(sizes), _u8p(content),
+                                  content.size, n, _i16p(out),
+                                  n_threads or _default_threads())
+    if err == 15:
+        raise BitstreamError("content buffer shorter than chunk sizes imply")
+    if err != 0:
+        raise BitstreamError(
+            f"native decode failed at block {err // 16 - 1}"
+            f" (code {err % 16})")
+    return out

@@ -1,0 +1,369 @@
+// Native multithreaded per-block canonical Huffman entropy codec.
+//
+// Host-side runtime component of the TPU framework: the DCT transform and
+// quantization run on the TPU (kernels/device.py); the ragged, data-dependent
+// entropy stage runs here, parallel over 8x8 blocks with std::thread.
+//
+// Written from the bitstream contract in SURVEY.md §7 (reference semantics:
+// myyuv_lib/myyuv_DCT/Huffman.cpp - zigzag scan, trailing-zero trim,
+// optimal Huffman lengths, canonical code assignment with symbols ascending
+// within a length, 11-bit symbol packing LSB-first, MSB-first code emission
+// packed LSB-first within bytes). Produces streams the reference CLI decodes
+// and decodes streams the reference CLI produces; byte-level tie-breaking of
+// the Huffman tree is not part of the contract (any optimal canonical code
+// round-trips).
+//
+// C ABI (ctypes-friendly); lanes layout = [n_blocks, 256] fixed-width rows
+// matching formats/dct_stream.py MAX_CHUNK.
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <atomic>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int kLane = 256;      // fixed lane width (chunks are 3..255 bytes)
+constexpr int kMaxSyms = 64;    // distinct symbols per block <= message size
+
+// JPEG-style zigzag scan order: message position i reads coefficient
+// kZigzag[i] of the row-major 8x8 block.
+constexpr uint8_t kZigzag[64] = {
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+struct BitWriter {
+  uint8_t* buf;
+  int bitpos = 0;
+  explicit BitWriter(uint8_t* b) : buf(b) {}
+  // append `nbits` of `value`, LSB of value first (11-bit symbol packing)
+  void put_lsb(uint32_t value, int nbits) {
+    for (int i = 0; i < nbits; ++i) {
+      if (value & (1u << i)) buf[bitpos >> 3] |= uint8_t(1u << (bitpos & 7));
+      ++bitpos;
+    }
+  }
+  // append a length-`len` code MSB-first (payload bit emission)
+  void put_code_msb(uint32_t code, int len) {
+    for (int i = len - 1; i >= 0; --i) {
+      if ((code >> i) & 1u) buf[bitpos >> 3] |= uint8_t(1u << (bitpos & 7));
+      ++bitpos;
+    }
+  }
+};
+
+struct BitReader {
+  const uint8_t* buf;
+  int bitpos = 0;
+  explicit BitReader(const uint8_t* b) : buf(b) {}
+  uint32_t get_lsb(int nbits) {
+    uint32_t v = 0;
+    for (int i = 0; i < nbits; ++i, ++bitpos)
+      v |= uint32_t((buf[bitpos >> 3] >> (bitpos & 7)) & 1u) << i;
+    return v;
+  }
+  int get_bit() {
+    int b = (buf[bitpos >> 3] >> (bitpos & 7)) & 1;
+    ++bitpos;
+    return b;
+  }
+};
+
+// Optimal Huffman code lengths for `n` symbols with weights `w` (ascending
+// order not required) via sort + two-queue merge; lengths in `len_out`.
+void huffman_lengths(const uint16_t* w, int n, uint8_t* len_out) {
+  if (n == 1) {  // single-symbol message gets code length 1
+    len_out[0] = 1;
+    return;
+  }
+  // order[] = indices sorted ascending by weight (stable for determinism)
+  int order[kMaxSyms];
+  for (int i = 0; i < n; ++i) order[i] = i;
+  std::stable_sort(order, order + n,
+                   [&](int a, int b) { return w[a] < w[b]; });
+  // two-queue merge: leaves (sorted) and internal nodes (created in
+  // non-decreasing weight order). parent[] over node ids:
+  // ids 0..n-1 = leaves in sorted order, n..2n-2 = internal.
+  uint32_t leafw[kMaxSyms], intw[kMaxSyms];
+  int parent[2 * kMaxSyms];
+  for (int i = 0; i < n; ++i) leafw[i] = w[order[i]];
+  int lh = 0, ih = 0, it = 0;  // leaf head, internal head/tail
+  for (int m = 0; m < n - 1; ++m) {
+    int picks[2];
+    for (int p = 0; p < 2; ++p) {
+      bool take_leaf =
+          lh < n && (ih >= it || leafw[lh] <= intw[ih]);
+      if (take_leaf) {
+        picks[p] = lh++;
+      } else {
+        picks[p] = n + ih++;
+      }
+    }
+    uint32_t wsum =
+        (picks[0] < n ? leafw[picks[0]] : intw[picks[0] - n]) +
+        (picks[1] < n ? leafw[picks[1]] : intw[picks[1] - n]);
+    intw[it] = wsum;
+    parent[picks[0]] = n + it;
+    parent[picks[1]] = n + it;
+    ++it;
+  }
+  // depths: root (last internal) has depth 0; internal nodes were created
+  // in order, parents always have larger ids, so sweep ids descending.
+  uint8_t depth[2 * kMaxSyms];
+  depth[n + it - 1] = 0;
+  for (int id = n + it - 2; id >= 0; --id)
+    depth[id] = depth[parent[id]] + 1;
+  for (int i = 0; i < n; ++i) len_out[order[i]] = depth[i];
+}
+
+// Encode one block. Returns chunk size in bytes (3..255) or 0 on error.
+int encode_block(const int16_t* coef, uint8_t* out) {
+  // zigzag scan + trailing-zero trim (all-zero -> single 0 symbol)
+  int16_t msg[64];
+  int msg_len = 0;
+  for (int i = 0; i < 64; ++i) {
+    msg[i] = coef[kZigzag[i]];
+    if (msg[i] != 0) msg_len = i + 1;
+  }
+  if (msg_len == 0) msg_len = 1;  // msg[0] == 0
+
+  // frequency table over distinct symbols (sorted ascending by symbol)
+  int16_t syms[kMaxSyms];
+  uint16_t freq[kMaxSyms];
+  int n_sym = 0;
+  {
+    int16_t sorted[64];
+    std::memcpy(sorted, msg, sizeof(int16_t) * msg_len);
+    std::sort(sorted, sorted + msg_len);
+    for (int i = 0; i < msg_len; ++i) {
+      if (n_sym == 0 || sorted[i] != syms[n_sym - 1]) {
+        syms[n_sym] = sorted[i];
+        freq[n_sym] = 1;
+        ++n_sym;
+      } else {
+        ++freq[n_sym - 1];
+      }
+    }
+  }
+
+  uint8_t lens[kMaxSyms];
+  huffman_lengths(freq, n_sym, lens);
+
+  // canonical order: (length, symbol) ascending; syms[] is already
+  // symbol-ascending, so a stable sort by length suffices.
+  int corder[kMaxSyms];
+  for (int i = 0; i < n_sym; ++i) corder[i] = i;
+  std::stable_sort(corder, corder + n_sym,
+                   [&](int a, int b) { return lens[a] < lens[b]; });
+  uint8_t code_len[kMaxSyms];  // per distinct-symbol index
+  uint8_t code_val[kMaxSyms];
+  {
+    uint32_t code = 0;
+    int prev_len = 0;
+    for (int i = 0; i < n_sym; ++i) {
+      int s = corder[i];
+      code <<= (lens[s] - prev_len);
+      prev_len = lens[s];
+      if (lens[s] > 8) return 0;  // cannot happen: weight <= 64 < Fib(11)
+      code_len[s] = lens[s];
+      code_val[s] = uint8_t(code);
+      ++code;
+    }
+  }
+
+  // total encoded bits
+  int enc_bits = 0;
+  for (int i = 0; i < n_sym; ++i) enc_bits += int(freq[i]) * code_len[i];
+  if (enc_bits > 512) return 0;  // cannot happen: <= 64 * 8
+
+  // serialize: u16 enc_bits LE, u8 tree_size, tree groups, payload bits
+  std::memset(out, 0, kLane);
+  out[0] = uint8_t(enc_bits & 0xFF);
+  out[1] = uint8_t(enc_bits >> 8);
+  int pos = 3;
+  // tree groups: runs of equal length in canonical order, <= 32 per group
+  {
+    int i = 0;
+    while (i < n_sym) {
+      int len = code_len[corder[i]];
+      int run_end = i;
+      while (run_end < n_sym && code_len[corder[run_end]] == len) ++run_end;
+      for (int start = i; start < run_end; start += 32) {
+        int cnt = std::min(32, run_end - start);
+        out[pos++] = uint8_t(((len - 1) << 5) | (cnt - 1));
+        BitWriter bw(out + pos);
+        for (int k = start; k < start + cnt; ++k) {
+          int16_t s = syms[corder[k]];
+          uint32_t v = s < 0 ? uint32_t(2048 + s) : uint32_t(s);
+          bw.put_lsb(v, 11);
+        }
+        pos += (cnt * 11 + 7) / 8;
+      }
+      i = run_end;
+    }
+  }
+  int tree_size = pos - 3;
+  if (tree_size > 255) return 0;
+  out[2] = uint8_t(tree_size);
+
+  // payload: per-message-symbol codes MSB-first, packed LSB-first in bytes
+  {
+    BitWriter bw(out + pos);
+    for (int i = 0; i < msg_len; ++i) {
+      // binary-search the distinct-symbol table (symbol-ascending)
+      int lo = 0, hi = n_sym - 1;
+      while (lo < hi) {
+        int mid = (lo + hi) >> 1;
+        if (syms[mid] < msg[i]) lo = mid + 1; else hi = mid;
+      }
+      bw.put_code_msb(code_val[lo], code_len[lo]);
+    }
+    pos += (enc_bits + 7) / 8;
+  }
+  if (pos > 255) return 0;  // chunk size must fit the u8 size field
+  return pos;
+}
+
+// Decode one chunk into a row-major int16[64] block. Returns 0 on success.
+int decode_block(const uint8_t* chunk, int chunk_size, int16_t* coef) {
+  if (chunk_size < 3) return 1;
+  int enc_bits = chunk[0] | (chunk[1] << 8);
+  int tree_size = chunk[2];
+  if (3 + tree_size + (enc_bits + 7) / 8 > chunk_size) return 2;
+
+  // parse tree groups -> canonical tables:
+  // count[len], symbols concatenated in (length, stored-order)
+  int counts[9] = {0};
+  int16_t symtab[9][kMaxSyms];
+  int pos = 3;
+  while (pos - 3 < tree_size) {
+    int info = chunk[pos++];
+    int len = (info >> 5) + 1;
+    int cnt = (info & 31) + 1;
+    BitReader br(chunk + pos);
+    for (int k = 0; k < cnt; ++k) {
+      if (counts[len] >= kMaxSyms) return 3;
+      uint32_t v = br.get_lsb(11);
+      symtab[len][counts[len]++] = v >= 1024 ? int16_t(int(v) - 2048)
+                                             : int16_t(v);
+    }
+    pos += (cnt * 11 + 7) / 8;
+  }
+  if (pos - 3 != tree_size) return 4;
+
+  // canonical decode (puff.c-style first/count walk)
+  std::memset(coef, 0, sizeof(int16_t) * 64);
+  BitReader br(chunk + pos);
+  int bit = 0, out_i = 0;
+  while (bit < enc_bits && out_i < 64) {
+    int code = 0, first = 0, len = 1;
+    int16_t sym = 0;
+    bool found = false;
+    for (; len <= 8; ++len) {
+      if (bit >= enc_bits) return 5;
+      code |= br.get_bit();
+      ++bit;
+      int c = counts[len];
+      if (code < first + c) {
+        if (c == 0) return 6;
+        sym = symtab[len][code - first];
+        found = true;
+        break;
+      }
+      first = (first + c) << 1;
+      code <<= 1;
+    }
+    if (!found) return 7;
+    coef[kZigzag[out_i++]] = sym;
+  }
+  if (bit != enc_bits) return 8;
+  return 0;
+}
+
+void parallel_for(int64_t n, int n_threads, void (*)(void)) = delete;
+
+template <typename F>
+void run_parallel(int64_t n, int n_threads, F&& fn) {
+  if (n_threads <= 1 || n < 2) {
+    fn(0, n);
+    return;
+  }
+  n_threads = int(std::min<int64_t>(n_threads, n));
+  std::vector<std::thread> threads;
+  int64_t per = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t lo = t * per, hi = std::min<int64_t>(n, lo + per);
+    if (lo >= hi) break;
+    threads.emplace_back([&fn, lo, hi] { fn(lo, hi); });
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode n_blocks of int16[64] coefficients into fixed-width lanes
+// [n_blocks, 256] + per-block sizes. Returns 0 on success, else the 1-based
+// index of the first failed block (impossible-range coefficients).
+int64_t myyuv_encode_blocks(const int16_t* coeffs, int64_t n_blocks,
+                            uint8_t* lanes_out, uint8_t* sizes_out,
+                            int32_t n_threads) {
+  std::atomic<int64_t> failed{0};
+  run_parallel(n_blocks, n_threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t k = lo; k < hi; ++k) {
+      int sz = encode_block(coeffs + k * 64, lanes_out + k * kLane);
+      sizes_out[k] = uint8_t(sz);
+      if (sz == 0) {
+        int64_t expect = 0;
+        failed.compare_exchange_strong(expect, k + 1);
+      }
+    }
+  });
+  return failed.load();
+}
+
+// Compact lanes into a contiguous content buffer (exclusive-prefix-sum
+// offsets, the DCTYUVPlane::getContentPos analog). Returns content length.
+int64_t myyuv_compact_lanes(const uint8_t* lanes, const uint8_t* sizes,
+                            int64_t n_blocks, uint8_t* content_out,
+                            int32_t n_threads) {
+  std::vector<int64_t> offs(size_t(n_blocks) + 1);
+  offs[0] = 0;
+  for (int64_t k = 0; k < n_blocks; ++k) offs[k + 1] = offs[k] + sizes[k];
+  run_parallel(n_blocks, n_threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t k = lo; k < hi; ++k)
+      std::memcpy(content_out + offs[k], lanes + k * kLane, sizes[k]);
+  });
+  return offs[size_t(n_blocks)];
+}
+
+// Decode a ragged stream (sizes + packed content) into int16[64] blocks.
+// Returns 0 on success, else (block_index + 1) * 16 + error_code of the
+// first failing block.
+int64_t myyuv_decode_blocks(const uint8_t* sizes, const uint8_t* content,
+                            int64_t content_len, int64_t n_blocks,
+                            int16_t* coeffs_out, int32_t n_threads) {
+  std::vector<int64_t> offs(size_t(n_blocks) + 1);
+  offs[0] = 0;
+  for (int64_t k = 0; k < n_blocks; ++k) offs[k + 1] = offs[k] + sizes[k];
+  if (offs[size_t(n_blocks)] > content_len) return 15;
+  std::atomic<int64_t> failed{0};
+  run_parallel(n_blocks, n_threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t k = lo; k < hi; ++k) {
+      int err = decode_block(content + offs[k], int(sizes[k]),
+                             coeffs_out + k * 64);
+      if (err != 0) {
+        int64_t expect = 0;
+        failed.compare_exchange_strong(expect, (k + 1) * 16 + err);
+      }
+    }
+  });
+  return failed.load();
+}
+
+}  // extern "C"

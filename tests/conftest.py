@@ -9,12 +9,23 @@ import os
 import subprocess
 from pathlib import Path
 
-# must happen before jax is imported anywhere
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# must happen before jax initializes its backends. Forced (not setdefault):
+# the ambient environment may point JAX_PLATFORMS at the real TPU, and the
+# suite must run on the deterministic 8-device virtual CPU mesh. Some
+# installed pytest plugins import jax before this conftest runs, baking the
+# ambient env into jax.config — so also update the already-imported config.
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
 ).strip()
+
+import sys  # noqa: E402
+
+if "jax" in sys.modules:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

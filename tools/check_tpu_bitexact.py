@@ -1,0 +1,73 @@
+"""TPU bit-exactness validation: device kernels vs the scalar oracle.
+
+Run on the real chip (ambient JAX_PLATFORMS): exercises the FMA-defeat
+(runtime zero) and the division-free boundary-exact quantization across
+qualities, plane shapes, and the real golden image.
+"""
+import numpy as np, jax, jax.numpy as jnp
+import sys
+sys.path.insert(0, "/root/repo")
+from myyuv_tpu import YUVImage
+from myyuv_tpu.kernels import device, scalar
+
+def main():
+    print("devices:", jax.devices())
+    assert jax.devices()[0].platform != "cpu", "must run on TPU"
+    rng = np.random.default_rng(7)
+    fails = 0
+
+    # random blocks across qualities/planes
+    blocks = rng.integers(0, 256, size=(4096, 8, 8), dtype=np.uint8)
+    coeffs = rng.integers(-1024, 1024, size=(4096, 8, 8), dtype=np.int16)
+    for q in (1, 10, 37, 50, 60, 77, 90, 95, 100):
+        for p in (0, 1):
+            qt = scalar.plane_qtable(p, q)
+            want = scalar.dct_quantize_blocks(blocks, qt)
+            got = np.asarray(device.dct_quantize(jnp.asarray(blocks), jnp.asarray(qt)))
+            ok1 = (got == want).all()
+            w2 = scalar.dequantize_idct_blocks(coeffs, qt)
+            g2 = np.asarray(device.dequantize_idct(jnp.asarray(coeffs), jnp.asarray(qt)))
+            ok2 = (g2 == w2).all()
+            if not (ok1 and ok2):
+                fails += 1
+                print(f"FAIL q={q} p={p} fwd={ok1} inv={ok2}",
+                      np.abs(got.astype(int)-want.astype(int)).max() if not ok1 else "")
+    print("random-block sweep:", "PASS" if fails == 0 else f"{fails} FAILS")
+
+    # real image, whole-plane path, mixed qualities
+    img = YUVImage.load("/root/reference/images/chef-with-trumpet.myyuv")
+    planes = img.planes()
+    for i, q in enumerate([50, 60, 70]):
+        qt = scalar.plane_qtable(i, q)
+        want = scalar.dct_quantize_blocks(scalar.plane_to_blocks(planes[i]), qt)
+        got = np.asarray(device.dct_quantize_plane(jnp.asarray(planes[i]), jnp.asarray(qt)))
+        ok = (got == want).all()
+        print(f"golden plane {i} q={q} fwd:", "PASS" if ok else "FAIL")
+        fails += 0 if ok else 1
+        h, w = planes[i].shape
+        rec_w = scalar.blocks_to_plane(scalar.dequantize_idct_blocks(want, qt), h, w)
+        rec_g = np.asarray(device.dequantize_idct_plane(
+            jnp.asarray(want.reshape(-1, 8, 8)), jnp.asarray(qt), h, w))
+        ok = (rec_g == rec_w).all()
+        print(f"golden plane {i} q={q} inv:", "PASS" if ok else "FAIL")
+        fails += 0 if ok else 1
+
+    # RGB conversions
+    px = rng.integers(0, 256, size=(736, 992, 4), dtype=np.uint8)
+    wy, wu, wv = scalar.bgrx_to_iyuv(px)
+    gy, gu, gv = [np.asarray(a) for a in device.bgrx_to_iyuv(jnp.asarray(px))]
+    ok = (gy == wy).all() and (gu == wu).all() and (gv == wv).all()
+    print("bgrx_to_iyuv:", "PASS" if ok else "FAIL")
+    fails += 0 if ok else 1
+    y, u, v = planes[:3]
+    wr = scalar.iyuv_to_bgrx(y, u, v)
+    gr = np.asarray(device.iyuv_to_bgrx(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)))
+    ok = (gr == wr).all()
+    print("iyuv_to_bgrx:", "PASS" if ok else "FAIL")
+    fails += 0 if ok else 1
+
+    print("TPU BIT-EXACT:", "ALL PASS" if fails == 0 else f"{fails} FAILURES")
+    return 0 if fails == 0 else 1
+
+if __name__ == "__main__":
+    sys.exit(main())

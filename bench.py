@@ -94,6 +94,8 @@ def measure_reference_baseline() -> float:
 
 
 def main() -> int:
+    from myyuv_tpu.runtime import jaxcache
+    jaxcache.enable()
     import jax
     import jax.numpy as jnp
     from myyuv_tpu import entropy

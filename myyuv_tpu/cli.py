@@ -148,6 +148,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("-o", "--output", type=Path, default=None)
     args = p.parse_args(argv)
 
+    from .runtime import jaxcache
+    jaxcache.enable()
+
     try:
         kind = _sniff(args.image)
 

@@ -30,6 +30,15 @@ if "jax" in sys.modules:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# persistent XLA compile cache: the heavier codec graphs (device entropy)
+# compile once per shape, then every suite run reuses them
+try:
+    from myyuv_tpu.runtime import jaxcache  # noqa: E402
+
+    jaxcache.enable()
+except Exception:
+    pass
+
 REPO = Path(__file__).resolve().parent.parent
 REFERENCE = Path("/root/reference")
 IMAGES = REFERENCE / "images"

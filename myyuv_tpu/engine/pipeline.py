@@ -50,19 +50,32 @@ def compress_dct(img: yuv.YUVImage, params: bytes,
     planes = img.planes()
     qtables = _qtables(qualities)
 
-    # dispatch all three device transforms before pulling any result back:
-    # JAX async dispatch keeps the TPU busy while the host runs entropy.
-    coeffs_dev = [
-        device.dct_quantize_plane(jnp.asarray(planes[i]),
-                                  jnp.asarray(qtables[i]),
-                                  precision=precision)
-        for i in range(3)
-    ]
-    streams = []
-    for i in range(3):
-        coeffs = np.asarray(coeffs_dev[i]).reshape(-1, 64)
-        sizes, content = entropy.encode_blocks(coeffs, backend=entropy_backend)
-        streams.append(dct_stream.DCTPlaneStream(sizes, content))
+    if entropy_backend == "device":
+        # fully on-chip: transform + entropy on device, only compressed
+        # bytes pulled back (engine.device_stream)
+        from . import device_stream
+        streams = []
+        for i in range(3):
+            sizes, content = device_stream.compress_plane_to_stream(
+                planes[i], qtables[i], precision=precision)
+            streams.append(dct_stream.DCTPlaneStream(
+                sizes, np.frombuffer(content.tobytes(), np.uint8)))
+    else:
+        # dispatch all three device transforms before pulling any result
+        # back: JAX async dispatch keeps the TPU busy while the host runs
+        # the native entropy stage.
+        coeffs_dev = [
+            device.dct_quantize_plane(jnp.asarray(planes[i]),
+                                      jnp.asarray(qtables[i]),
+                                      precision=precision)
+            for i in range(3)
+        ]
+        streams = []
+        for i in range(3):
+            coeffs = np.asarray(coeffs_dev[i]).reshape(-1, 64)
+            sizes, content = entropy.encode_blocks(coeffs,
+                                                   backend=entropy_backend)
+            streams.append(dct_stream.DCTPlaneStream(sizes, content))
     payload = dct_stream.DCTStream(streams).serialize()
 
     header = yuv.YUVHeader(
@@ -97,11 +110,17 @@ def decompress_dct(img: yuv.YUVImage,
             raise MyYUVError(
                 f"plane {i}: expected {expect} blocks, stream has "
                 f"{0 if s is None else s.num_blocks}")
-        coeffs = entropy.decode_blocks(s.chunk_sizes, s.content,
-                                       backend=entropy_backend)
-        planes_dev.append(device.dequantize_idct_plane(
-            jnp.asarray(coeffs.reshape(-1, 8, 8)), jnp.asarray(qtables[i]),
-            ph, pw, precision=precision))
+        if entropy_backend == "device":
+            from . import device_stream
+            planes_dev.append(device_stream.decompress_stream_to_plane(
+                s.chunk_sizes, s.content, qtables[i], ph, pw,
+                precision=precision))
+        else:
+            coeffs = entropy.decode_blocks(s.chunk_sizes, s.content,
+                                           backend=entropy_backend)
+            planes_dev.append(device.dequantize_idct_plane(
+                jnp.asarray(coeffs.reshape(-1, 8, 8)),
+                jnp.asarray(qtables[i]), ph, pw, precision=precision))
 
     planes = [np.asarray(p) for p in planes_dev]
     out = yuv.YUVImage.from_planes(

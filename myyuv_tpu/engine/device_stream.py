@@ -35,6 +35,84 @@ from ..runtime.errors import BitstreamError
 CAP_PER_BLOCK = 48
 
 
+# ---------------------------------------------------------------------------
+# Frame-level API: one jit per geometry (all planes' blocks in one tensor)
+# ---------------------------------------------------------------------------
+#
+# Compiles through the tunnel are expensive (~8 min cold / ~2 min warm per
+# executable), so the whole frame — luma + both chroma planes — is packed
+# into a single [Ntot, 8, 8] block tensor with a per-block quantization
+# table (broadcast-selected from the three plane tables). Two executables
+# cover the full codec instead of six, and the bigger N utilizes the chip
+# better. Block order: Y raster blocks, then U, then V — matching the
+# per-plane stream split of the on-disk DCTYUV payload (DCT.cpp:112-173).
+
+
+def _frame_qtables(qt_y, qt_u, qt_v, ny: int, nc: int):
+    qidx = jnp.concatenate([
+        jnp.zeros((ny,), jnp.int32), jnp.ones((nc,), jnp.int32),
+        jnp.full((nc,), 2, jnp.int32)])
+    qts = jnp.stack([qt_y, qt_u, qt_v])          # [3, 8, 8]
+    return qts[qidx]                             # [Ntot, 8, 8]
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def compress_frame(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                   qt_y: jnp.ndarray, qt_u: jnp.ndarray, qt_v: jnp.ndarray,
+                   precision: str = "exact"):
+    """Full-frame on-chip compress.
+
+    Returns (content [Ntot*CAP] u8, sizes [Ntot] i32, total, ok) with
+    blocks ordered Y, U, V.
+    """
+    by = kdev.plane_to_blocks(y)
+    bu = kdev.plane_to_blocks(u)
+    bv = kdev.plane_to_blocks(v)
+    ny, nc = by.shape[0], bu.shape[0]
+    blocks = jnp.concatenate([by, bu, bv])
+    qtab = _frame_qtables(qt_y, qt_u, qt_v, ny, nc)
+    coeffs = kdev.dct_quantize(blocks, qtab, precision=precision)
+    n = coeffs.shape[0]
+    lanes, sizes, ok = edev.encode_lanes(coeffs.reshape(n, 64))
+    offs = jnp.cumsum(sizes) - sizes
+    total = jnp.sum(sizes)
+    cap = n * CAP_PER_BLOCK
+    j = jnp.arange(edev.LANE, dtype=jnp.int32)[None, :]
+    valid = j < sizes[:, None]
+    # invalid lane bytes re-target the row's last valid byte with a zero
+    # add: a sink index would break global monotonicity across rows, and
+    # indices_are_sorted is what keeps this scatter's lowering cheap.
+    flat_pos = offs[:, None] + jnp.minimum(j, sizes[:, None] - 1)
+    content = jnp.zeros((cap,), jnp.uint8).at[
+        flat_pos.reshape(-1)].add(
+        jnp.where(valid, lanes, 0).reshape(-1), mode="drop",
+        unique_indices=True, indices_are_sorted=True)
+    return content, sizes, total, jnp.all(ok) & (total <= cap)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "precision"))
+def decompress_frame(content: jnp.ndarray, sizes: jnp.ndarray,
+                     qt_y: jnp.ndarray, qt_u: jnp.ndarray,
+                     qt_v: jnp.ndarray, h: int, w: int,
+                     precision: str = "exact"):
+    """Full-frame on-chip decompress -> (y, u, v, ok)."""
+    ny = (h // 8) * (w // 8)
+    nc = (h // 16) * (w // 16)
+    sizes = sizes.astype(jnp.int32)
+    offs = jnp.cumsum(sizes) - sizes
+    j = jnp.arange(edev.LANE, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(offs[:, None] + j, 0, content.shape[0] - 1)
+    lanes = jnp.where(j < sizes[:, None], content[idx], 0)
+    coeffs, ok = edev.decode_lanes(lanes)
+    qtab = _frame_qtables(qt_y, qt_u, qt_v, ny, nc)
+    pix = kdev.dequantize_idct(coeffs.reshape(-1, 8, 8), qtab,
+                               precision=precision)
+    y = kdev.blocks_to_plane(pix[:ny], h, w)
+    u = kdev.blocks_to_plane(pix[ny:ny + nc], h // 2, w // 2)
+    v = kdev.blocks_to_plane(pix[ny + nc:], h // 2, w // 2)
+    return y, u, v, jnp.all(ok)
+
+
 @functools.partial(jax.jit, static_argnames=("precision",))
 def compress_plane(plane: jnp.ndarray, qtable: jnp.ndarray,
                    precision: str = "exact"):
@@ -51,12 +129,12 @@ def compress_plane(plane: jnp.ndarray, qtable: jnp.ndarray,
     total = jnp.sum(sizes)
     cap = n * CAP_PER_BLOCK
     j = jnp.arange(edev.LANE, dtype=jnp.int32)[None, :]
-    flat_pos = offs[:, None] + j                          # [N, LANE]
     valid = j < sizes[:, None]
-    flat_pos = jnp.where(valid, flat_pos, cap)            # drop out-of-lane
+    flat_pos = offs[:, None] + jnp.minimum(j, sizes[:, None] - 1)
     content = jnp.zeros((cap,), jnp.uint8).at[
         flat_pos.reshape(-1)].add(
-        jnp.where(valid, lanes, 0).reshape(-1), mode="drop")
+        jnp.where(valid, lanes, 0).reshape(-1), mode="drop",
+        unique_indices=True, indices_are_sorted=True)
     all_ok = jnp.all(ok) & (total <= cap)
     return content, sizes, total, all_ok
 
@@ -114,6 +192,49 @@ def pull_content(content_dev: jnp.ndarray, total: int) -> np.ndarray:
     padded = min(content_dev.shape[0],
                  (n + _PULL_QUANTUM - 1) // _PULL_QUANTUM * _PULL_QUANTUM)
     return np.asarray(content_dev[:padded])[:n]
+
+
+def compress_frame_to_streams(planes_np, qtables_np,
+                              precision: str = "exact"):
+    """Host API: (y, u, v) planes -> [(sizes u8, content u8)] per plane."""
+    h, w = planes_np[0].shape
+    ny = (h // 8) * (w // 8)
+    nc = (h // 16) * (w // 16)
+    content, sizes, total, ok = compress_frame(
+        jnp.asarray(planes_np[0]), jnp.asarray(planes_np[1]),
+        jnp.asarray(planes_np[2]), *[jnp.asarray(q) for q in qtables_np],
+        precision=precision)
+    if not bool(ok):
+        raise BitstreamError("device compress overflow/failure")
+    sizes_np = np.asarray(sizes)
+    content_np = pull_content(content, int(total))
+    out = []
+    pos = 0
+    for lo, hi in ((0, ny), (ny, ny + nc), (ny + nc, ny + 2 * nc)):
+        s = sizes_np[lo:hi]
+        t = int(s.sum())
+        out.append((s.astype(np.uint8), content_np[pos: pos + t]))
+        pos += t
+    return out
+
+
+def decompress_streams_to_frame(streams, qtables_np, h: int, w: int,
+                                precision: str = "exact"):
+    """Host API: per-plane (sizes, content) -> (y, u, v) uint8 planes."""
+    sizes_np = np.concatenate([s.astype(np.int32) for s, _ in streams])
+    content_np = np.concatenate([c for _, c in streams])
+    cap = sizes_np.shape[0] * CAP_PER_BLOCK
+    if content_np.size > cap:
+        raise BitstreamError("stream larger than device capacity")
+    padded = np.zeros((cap,), np.uint8)
+    padded[:content_np.size] = content_np
+    y, u, v, ok = decompress_frame(
+        jnp.asarray(padded), jnp.asarray(sizes_np),
+        *[jnp.asarray(q) for q in qtables_np], h=h, w=w,
+        precision=precision)
+    if not bool(ok):
+        raise BitstreamError("Huffman bad code (device decode)")
+    return np.asarray(y), np.asarray(u), np.asarray(v)
 
 
 def compress_plane_to_stream(plane_np: np.ndarray, qtable_np: np.ndarray,

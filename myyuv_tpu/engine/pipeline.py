@@ -52,14 +52,13 @@ def compress_dct(img: yuv.YUVImage, params: bytes,
 
     if entropy_backend == "device":
         # fully on-chip: transform + entropy on device, only compressed
-        # bytes pulled back (engine.device_stream)
+        # bytes pulled back (engine.device_stream, one jit per geometry)
         from . import device_stream
-        streams = []
-        for i in range(3):
-            sizes, content = device_stream.compress_plane_to_stream(
-                planes[i], qtables[i], precision=precision)
-            streams.append(dct_stream.DCTPlaneStream(
-                sizes, np.frombuffer(content.tobytes(), np.uint8)))
+        streams = [
+            dct_stream.DCTPlaneStream(
+                sizes, np.frombuffer(content.tobytes(), np.uint8))
+            for sizes, content in device_stream.compress_frame_to_streams(
+                planes, qtables, precision=precision)]
     else:
         # dispatch all three device transforms before pulling any result
         # back: JAX async dispatch keeps the TPU busy while the host runs
@@ -101,7 +100,6 @@ def decompress_dct(img: yuv.YUVImage,
     streams = dct_stream.DCTStream.parse(img.data)
     qtables = _qtables(qualities)
 
-    planes_dev = []
     for i in range(3):
         pw, ph = img.plane_shape(i)
         s = streams.planes[i]
@@ -110,19 +108,22 @@ def decompress_dct(img: yuv.YUVImage,
             raise MyYUVError(
                 f"plane {i}: expected {expect} blocks, stream has "
                 f"{0 if s is None else s.num_blocks}")
-        if entropy_backend == "device":
-            from . import device_stream
-            planes_dev.append(device_stream.decompress_stream_to_plane(
-                s.chunk_sizes, s.content, qtables[i], ph, pw,
-                precision=precision))
-        else:
+    if entropy_backend == "device":
+        from . import device_stream
+        planes = list(device_stream.decompress_streams_to_frame(
+            [(s.chunk_sizes, s.content) for s in streams.planes],
+            qtables, img.height, img.width, precision=precision))
+    else:
+        planes_dev = []
+        for i in range(3):
+            pw, ph = img.plane_shape(i)
+            s = streams.planes[i]
             coeffs = entropy.decode_blocks(s.chunk_sizes, s.content,
                                            backend=entropy_backend)
             planes_dev.append(device.dequantize_idct_plane(
                 jnp.asarray(coeffs.reshape(-1, 8, 8)),
                 jnp.asarray(qtables[i]), ph, pw, precision=precision))
-
-    planes = [np.asarray(p) for p in planes_dev]
+        planes = [np.asarray(p) for p in planes_dev]
     out = yuv.YUVImage.from_planes(
         img.header.fourcc_format, planes, img.width, img.height)
     return out

@@ -75,7 +75,8 @@ def _parse_trees(lanes: jnp.ndarray, tree_size: jnp.ndarray
         hdr = _take_byte(lanes, cursor)
         length = (hdr >> 5) + 1
         cnt = jnp.where(active, (hdr & 31) + 1, 0)
-        counts = counts.at[rows, jnp.where(active, length, 0)].add(cnt)
+        counts = counts.at[rows, jnp.where(active, length, 0)].add(
+            cnt, unique_indices=True, indices_are_sorted=True)
         cursor = cursor + jnp.where(active, 1 + (cnt * 11 + 7) // 8, 0)
         return cursor, counts
 
@@ -111,8 +112,9 @@ def _parse_trees(lanes: jnp.ndarray, tree_size: jnp.ndarray
                + toff[None, :])                       # [N, 32]
         pos = jnp.where(valid, pos, 64)               # 64 = dropped
         symflat = symflat.at[rows[:, None], pos].set(
-            sym, mode="drop")
-        placed = placed.at[rows, jnp.where(active, length, 0)].add(cnt)
+            sym, mode="drop", unique_indices=True)
+        placed = placed.at[rows, jnp.where(active, length, 0)].add(
+            cnt, unique_indices=True, indices_are_sorted=True)
         cursor = cursor + jnp.where(active, 1 + (cnt * 11 + 7) // 8, 0)
         return cursor, placed, symflat
 
@@ -176,7 +178,8 @@ def decode_lanes(lanes: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
             symflat, jnp.clip(pos, 0, 63)[:, None], axis=1)[:, 0]
         write = active & ok_sym
         coeffs = coeffs.at[rows, zz[p]].set(
-            jnp.where(write, sym, coeffs[rows, zz[p]]))
+            jnp.where(write, sym, coeffs[rows, zz[p]]),
+            unique_indices=True, indices_are_sorted=True)
         bad = bad | (active & ~ok_sym)
         bitpos = jnp.where(write, bitpos + length, bitpos)
         return bitpos, coeffs, bad
@@ -243,11 +246,12 @@ def encode_lanes(coeffs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
     n_sym = jnp.sum(is_new.astype(I32), axis=1)          # [N]
     gid_safe = jnp.where(valid, gid, 64)
     counts = jnp.zeros((n, 64), I32).at[rows2, gid_safe].add(
-        valid.astype(I32), mode="drop")
+        valid.astype(I32), mode="drop", indices_are_sorted=True)
     symval = jnp.full((n, 64), 2048, I32).at[rows2, gid_safe].min(
-        sv, mode="drop")
+        sv, mode="drop", indices_are_sorted=True)
     # group id of each original message position
-    gorig = jnp.zeros((n, 64), I32).at[rows2, sort_idx].set(gid_safe)
+    gorig = jnp.zeros((n, 64), I32).at[rows2, sort_idx].set(
+        gid_safe, unique_indices=True)
 
     # ---- two-queue Huffman merge over count-sorted leaves --------------
     BIG = jnp.int32(1 << 29)
@@ -280,11 +284,11 @@ def encode_lanes(coeffs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
         lh, ih, it, intw, _ = st
         new_id = 64 + it
         parent = parent.at[rows, jnp.where(active, node1, 127)].set(
-            new_id, mode="drop")
+            new_id, mode="drop", unique_indices=True)
         parent = parent.at[rows, jnp.where(active, node2, 127)].set(
-            new_id, mode="drop")
+            new_id, mode="drop", unique_indices=True)
         intw = intw.at[rows, jnp.where(active, it, 63)].set(
-            jnp.where(active, w1 + w2, 0), mode="drop")
+            jnp.where(active, w1 + w2, 0), mode="drop", unique_indices=True)
         it = it + active
         return (lh, ih, it, intw, parent), None
 
@@ -310,7 +314,7 @@ def encode_lanes(coeffs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
     # scatter back: length per group id
     glen = jnp.zeros((n, 64), I32).at[
         rows2, jnp.where(pos64 < n_sym[:, None], leaf_sort, 64)].set(
-        leaf_len, mode="drop")
+        leaf_len, mode="drop", unique_indices=True)
 
     # ---- canonical order + codes ---------------------------------------
     in_range = pos64 < n_sym[:, None]
@@ -323,7 +327,8 @@ def encode_lanes(coeffs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
     code_c = S >> (8 - jnp.clip(len_c, 1, 8))
     # per-group code/len for payload emission
     gcode = jnp.zeros((n, 64), I32).at[
-        rows2, jnp.where(in_range, corder, 64)].set(code_c, mode="drop")
+        rows2, jnp.where(in_range, corder, 64)].set(
+        code_c, mode="drop", unique_indices=True)
 
     # ---- tree section layout (canonical-entry arithmetic) --------------
     prev_len = jnp.concatenate([jnp.full((n, 1), -1, I32), len_c[:, :-1]],
@@ -337,7 +342,7 @@ def encode_lanes(coeffs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
     tgid = jnp.cumsum(grp_start.astype(I32), axis=1) - 1
     tgid_safe = jnp.where(in_range, tgid, 64)
     gcnt = jnp.zeros((n, 64), I32).at[rows2, tgid_safe].add(
-        in_range.astype(I32), mode="drop")
+        in_range.astype(I32), mode="drop", indices_are_sorted=True)
     n_grp = jnp.sum(grp_start.astype(I32), axis=1)
     grp_bytes = jnp.where(pos64 < n_grp[:, None],
                           1 + (gcnt * 11 + 7) // 8, 0)
@@ -357,16 +362,23 @@ def encode_lanes(coeffs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
     canvas = canvas.at[:, 1].set((total_bits_msg >> 8).astype(jnp.uint8))
     canvas = canvas.at[:, 2].set(tree_size.astype(jnp.uint8))
 
-    # group headers: at canonical entries where grp_start
-    hdr_pos = jnp.where(grp_start,
+    # group headers: at canonical entries where grp_start. Value-masked
+    # (zero adds at a shared sink index) so indices stay sorted — sorted
+    # scatters lower without the expensive expander (compile time scales
+    # with N otherwise).
+    # non-start entries re-target their group's header byte with a zero
+    # add (keeps the index sequence monotone; a mid-sequence sink index
+    # would falsify indices_are_sorted); the invalid tail goes to LANE-1.
+    hdr_pos = jnp.where(in_range,
                         3 + jnp.take_along_axis(goff, tgid_safe % 64, axis=1),
-                        LANE)
+                        LANE - 1)
     hdr_val = ((jnp.clip(len_c, 1, 8) - 1) << 5) | \
         (jnp.take_along_axis(gcnt, tgid_safe % 64, axis=1) - 1)
     canvas = canvas.at[rows2, hdr_pos].add(
-        jnp.where(grp_start, hdr_val, 0).astype(jnp.uint8), mode="drop")
+        jnp.where(grp_start, hdr_val, 0).astype(jnp.uint8),
+        mode="drop", indices_are_sorted=True)
 
-    # 11-bit symbols: 3 byte contributions each
+    # 11-bit symbols: 3 byte contributions each (disjoint bits per k)
     v11 = jnp.where(sym_c < 0, sym_c + 2048, sym_c) & 0x7FF
     grp_byte0 = 3 + jnp.take_along_axis(goff, tgid_safe % 64, axis=1) + 1
     sym_bit = idx_in_grp * 11                            # within group
@@ -374,23 +386,41 @@ def encode_lanes(coeffs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
     ssh = sym_bit & 7
     for k in range(3):
         contrib = (v11 << ssh >> (8 * k)) & 0xFF
-        p = jnp.where(in_range & (contrib >= 0), sbyte + k, LANE)
-        canvas = canvas.at[rows2, jnp.where(in_range, p, LANE)].add(
-            jnp.where(in_range, contrib, 0).astype(jnp.uint8), mode="drop")
+        p = jnp.where(in_range, sbyte + k, LANE - 1)
+        canvas = canvas.at[rows2, p].add(
+            jnp.where(in_range, contrib, 0).astype(jnp.uint8),
+            mode="drop", indices_are_sorted=True)
 
-    # payload: per message position, len<=8 bits MSB-first
+    # payload: emit each code's bits (MSB-first) into a per-chunk bit
+    # canvas at unique, sorted positions; pack to bytes densely; then
+    # shift into place behind the variable-size tree section with one
+    # per-row gather (scatters with duplicate byte targets would need the
+    # slow general expander — bit positions are collision-free).
     plen = jnp.take_along_axis(glen, jnp.where(valid, gorig, 0), axis=1)
     pcode = jnp.take_along_axis(gcode, jnp.where(valid, gorig, 0), axis=1)
     bit_start = jnp.cumsum(jnp.where(valid, plen, 0), axis=1) - \
         jnp.where(valid, plen, 0)
-    pay_bit0 = ((3 + tree_size) * 8)[:, None]
+    bits = jnp.zeros((n, 512), jnp.uint8)
     for t in range(8):
         has_bit = valid & (t < plen)
-        bit = (pcode >> jnp.clip(plen - 1 - t, 0, 31)) & 1
-        ab = pay_bit0 + bit_start + t
-        byte = jnp.where(has_bit, ab >> 3, LANE)
-        contrib = (bit << (ab & 7)).astype(jnp.uint8)
-        canvas = canvas.at[rows2, byte].add(
-            jnp.where(has_bit, contrib, 0), mode="drop")
+        bit = ((pcode >> jnp.clip(plen - 1 - t, 0, 31)) & 1).astype(
+            jnp.uint8)
+        # monotone even when masked: entries shorter than t re-add zero at
+        # their last bit position; the invalid tail lands past the canvas
+        # (bit_start there == total_bits) and is dropped.
+        bpos = bit_start + jnp.minimum(t, jnp.maximum(plen - 1, 0))
+        bits = bits.at[rows2, bpos].add(
+            jnp.where(has_bit, bit, 0), mode="drop",
+            indices_are_sorted=True)
+    weights = (1 << jnp.arange(8, dtype=I32))
+    pay_bytes = jnp.sum(bits.reshape(n, 64, 8).astype(I32)
+                        * weights[None, None, :], axis=2)   # [N, 64] LSB-1st
+    # gather-shift: canvas byte b (b >= 3+tree_size) = pay_bytes[b - off]
+    bcol = jnp.arange(LANE, dtype=I32)[None, :]
+    off = (3 + tree_size)[:, None]
+    src = jnp.clip(bcol - off, 0, 63)
+    in_pay = (bcol >= off) & (bcol - off < 64)
+    shifted = jnp.take_along_axis(pay_bytes, src, axis=1)
+    canvas = canvas | jnp.where(in_pay, shifted, 0).astype(jnp.uint8)
 
     return canvas, sizes, ok

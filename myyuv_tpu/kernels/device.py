@@ -56,6 +56,12 @@ def _seq_matmul(a: jnp.ndarray, b: jnp.ndarray,
     Bit-exact model of squareMatrixMul (DCT.cpp:232-242): the accumulator is
     rounded to f32 after every multiply and every add, no reassociation.
 
+    ``a`` and ``b`` may be [8, 8] constants or [..., 8, 8] batches; slices
+    broadcast against each other, which keeps the DCT matrix a tiny [8, 1]
+    constant per step — pre-broadcasting it to the batch shape makes XLA
+    constant-fold N-sized literals through the (interpreted) HLO evaluator
+    and compile time blows up linearly with N.
+
     ``z`` must be a RUNTIME float32 zero (derived from a traced input, e.g.
     ``x.ravel()[0] * 0``). Each product is emitted as ``(a_k * b_k) + z``:
     the TPU backend (Mosaic) contracts mul-feeding-add chains into
@@ -74,8 +80,14 @@ def _seq_matmul(a: jnp.ndarray, b: jnp.ndarray,
 
 
 def _runtime_zero(x: jnp.ndarray) -> jnp.ndarray:
-    """A float32 zero the compiler cannot constant-fold (see _seq_matmul)."""
-    return x.reshape(-1)[0].astype(F32) * F32(0)
+    """A float32 zero the compiler cannot constant-fold (see _seq_matmul).
+
+    Element indexing, NOT ``x.reshape(-1)[0]``: reshaping a large array
+    just to take element 0 sends XLA's reshape/layout passes on a tour
+    that scales compile time with the array size (observed 285 s vs 0.5 s
+    at [17112, 8, 8] on CPU).
+    """
+    return x[(0,) * x.ndim].astype(F32) * F32(0)
 
 
 def _exact_quantize(coef: jnp.ndarray, qtable: jnp.ndarray) -> jnp.ndarray:
@@ -153,8 +165,8 @@ def dct_quantize(blocks_u8: jnp.ndarray, qtable: jnp.ndarray,
     x = blocks_u8.astype(F32) - F32(128)
     if precision == "exact":
         z = _runtime_zero(qtable)
-        t = _seq_matmul(jnp.broadcast_to(_C, x.shape), x, z)
-        coef = _seq_matmul(t, jnp.broadcast_to(_CT, x.shape), z)
+        t = _seq_matmul(_C, x, z)
+        coef = _seq_matmul(t, _CT, z)
         return _exact_quantize(coef, qtable)
     coef = _mxu_transform(_C, x, _CT)
     return round_half_away(coef / qtable.astype(F32)).astype(jnp.int16)
@@ -170,8 +182,8 @@ def dequantize_idct(coeffs: jnp.ndarray, qtable: jnp.ndarray,
     x = coeffs.astype(F32) * qtable.astype(F32)
     if precision == "exact":
         z = _runtime_zero(qtable)
-        t = _seq_matmul(jnp.broadcast_to(_CT, x.shape), x, z)
-        pix = _seq_matmul(t, jnp.broadcast_to(_C, x.shape), z)
+        t = _seq_matmul(_CT, x, z)
+        pix = _seq_matmul(t, _C, z)
     else:
         pix = _mxu_transform(_CT, x, _C)
     r = round_half_away(pix).astype(jnp.int32) + 128

@@ -59,6 +59,13 @@ def compress_dct(img: yuv.YUVImage, params: bytes,
                 sizes, np.frombuffer(content.tobytes(), np.uint8))
             for sizes, content in device_stream.compress_frame_to_streams(
                 planes, qtables, precision=precision)]
+    elif entropy_backend == "cpu":
+        # fused native CPU path: per-block DCT+quantize+Huffman in C++
+        # threads, zero device traffic (native/entropy.cpp; bit-exact)
+        from .. import native
+        streams = [dct_stream.DCTPlaneStream(
+            *native.compress_plane(planes[i], qtables[i]))
+            for i in range(3)]
     else:
         # dispatch all three device transforms before pulling any result
         # back: JAX async dispatch keeps the TPU busy while the host runs
@@ -113,6 +120,14 @@ def decompress_dct(img: yuv.YUVImage,
         planes = list(device_stream.decompress_streams_to_frame(
             [(s.chunk_sizes, s.content) for s in streams.planes],
             qtables, img.height, img.width, precision=precision))
+    elif entropy_backend == "cpu":
+        from .. import native
+        planes = []
+        for i in range(3):
+            pw, ph = img.plane_shape(i)
+            s = streams.planes[i]
+            planes.append(native.decompress_plane(
+                s.chunk_sizes, s.content, qtables[i], ph, pw))
     else:
         planes_dev = []
         for i in range(3):

@@ -37,7 +37,7 @@ def build(force: bool = False) -> bool:
         return True
     src = _DIR / "entropy.cpp"
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
-           "-pthread", str(src), "-o", str(_LIB_PATH)]
+           "-ffp-contract=off", "-pthread", str(src), "-o", str(_LIB_PATH)]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
     except Exception:
@@ -71,6 +71,15 @@ def load() -> Optional[ctypes.CDLL]:
     lib.myyuv_decode_blocks.restype = ctypes.c_int64
     lib.myyuv_decode_blocks.argtypes = [
         u8p, u8p, ctypes.c_int64, ctypes.c_int64, i16p, ctypes.c_int32]
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.myyuv_compress_plane.restype = ctypes.c_int64
+    lib.myyuv_compress_plane.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, f32p, u8p, u8p,
+        ctypes.c_int32]
+    lib.myyuv_decompress_plane.restype = ctypes.c_int64
+    lib.myyuv_decompress_plane.argtypes = [
+        u8p, u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, f32p,
+        u8p, ctypes.c_int32]
     _lib = lib
     return _lib
 
@@ -128,3 +137,54 @@ def decode_blocks(sizes: np.ndarray, content: np.ndarray,
             f"native decode failed at block {err // 16 - 1}"
             f" (code {err % 16})")
     return out
+
+
+def _f32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def compress_plane(plane: np.ndarray, qtable: np.ndarray,
+                   n_threads: Optional[int] = None
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Fused native CPU compress: [H, W] u8 + qtable f32[8,8] ->
+    (chunk_sizes u8[N], content u8[total]). Bit-exact with the device and
+    scalar paths (entropy.cpp is built with -ffp-contract=off)."""
+    lib = load()
+    assert lib is not None, "native library unavailable"
+    plane = np.ascontiguousarray(plane, np.uint8)
+    qt = np.ascontiguousarray(qtable, np.float32).reshape(64)
+    h, w = plane.shape
+    n = (h // 8) * (w // 8)
+    lanes = np.empty((n, LANE), np.uint8)
+    sizes = np.empty(n, np.uint8)
+    nt = n_threads or _default_threads()
+    err = lib.myyuv_compress_plane(_u8p(plane), w, h, _f32p(qt),
+                                   _u8p(lanes), _u8p(sizes), nt)
+    if err != 0:
+        raise ValueError(f"native compress failed at block {err - 1}")
+    content = np.empty(int(sizes.astype(np.int64).sum()), np.uint8)
+    lib.myyuv_compact_lanes(_u8p(lanes), _u8p(sizes), n, _u8p(content), nt)
+    return sizes, content
+
+
+def decompress_plane(sizes: np.ndarray, content: np.ndarray,
+                     qtable: np.ndarray, h: int, w: int,
+                     n_threads: Optional[int] = None) -> np.ndarray:
+    """Fused native CPU decompress -> [H, W] u8 plane."""
+    from ..runtime.errors import BitstreamError
+    lib = load()
+    assert lib is not None, "native library unavailable"
+    sizes = np.ascontiguousarray(sizes, np.uint8)
+    content = np.ascontiguousarray(content, np.uint8)
+    qt = np.ascontiguousarray(qtable, np.float32).reshape(64)
+    plane = np.empty((h, w), np.uint8)
+    err = lib.myyuv_decompress_plane(
+        _u8p(sizes), _u8p(content), content.size, w, h, _f32p(qt),
+        _u8p(plane), n_threads or _default_threads())
+    if err == 15:
+        raise BitstreamError("content buffer shorter than chunk sizes imply")
+    if err != 0:
+        raise BitstreamError(
+            f"native decompress failed at block {err // 16 - 1}"
+            f" (code {err % 16})")
+    return plane

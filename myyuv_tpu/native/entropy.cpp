@@ -16,6 +16,7 @@
 // C ABI (ctypes-friendly); lanes layout = [n_blocks, 256] fixed-width rows
 // matching formats/dct_stream.py MAX_CHUNK.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
@@ -40,19 +41,24 @@ struct BitWriter {
   uint8_t* buf;
   int bitpos = 0;
   explicit BitWriter(uint8_t* b) : buf(b) {}
-  // append `nbits` of `value`, LSB of value first (11-bit symbol packing)
+  // append `nbits` (<= 24) of `value`, LSB of value first in stream order
+  // (11-bit symbol packing): whole-field OR into the byte stream.
   void put_lsb(uint32_t value, int nbits) {
-    for (int i = 0; i < nbits; ++i) {
-      if (value & (1u << i)) buf[bitpos >> 3] |= uint8_t(1u << (bitpos & 7));
-      ++bitpos;
-    }
+    uint32_t v = value & ((1u << nbits) - 1u);
+    int byte = bitpos >> 3, sh = bitpos & 7;
+    buf[byte] |= uint8_t(v << sh);
+    buf[byte + 1] |= uint8_t(v >> (8 - sh));
+    buf[byte + 2] |= uint8_t((uint64_t(v) << sh) >> 16);
+    buf[byte + 3] |= uint8_t((uint64_t(v) << sh) >> 24);
+    bitpos += nbits;
   }
-  // append a length-`len` code MSB-first (payload bit emission)
+  // append a length-`len` (<= 8) code MSB-first (payload bit emission)
   void put_code_msb(uint32_t code, int len) {
-    for (int i = len - 1; i >= 0; --i) {
-      if ((code >> i) & 1u) buf[bitpos >> 3] |= uint8_t(1u << (bitpos & 7));
-      ++bitpos;
-    }
+    // reverse `len` bits so stream order (LSB-first in bytes) sees the
+    // code MSB-first
+    uint32_t r = 0;
+    for (int i = 0; i < len; ++i) r |= ((code >> i) & 1u) << (len - 1 - i);
+    put_lsb(r, len);
   }
 };
 
@@ -121,7 +127,12 @@ void huffman_lengths(const uint16_t* w, int n, uint8_t* len_out) {
 }
 
 // Encode one block. Returns chunk size in bytes (3..255) or 0 on error.
-int encode_block(const int16_t* coef, uint8_t* out) {
+// Writes into a local padded scratch first: the word-based BitWriter may
+// touch up to 3 bytes past the last field, which must not cross into the
+// next lane row (owned by another thread).
+int encode_block(const int16_t* coef, uint8_t* out_lane) {
+  uint8_t scratch[kLane + 8];
+  uint8_t* out = scratch;
   // zigzag scan + trailing-zero trim (all-zero -> single 0 symbol)
   int16_t msg[64];
   int msg_len = 0;
@@ -181,7 +192,7 @@ int encode_block(const int16_t* coef, uint8_t* out) {
   if (enc_bits > 512) return 0;  // cannot happen: <= 64 * 8
 
   // serialize: u16 enc_bits LE, u8 tree_size, tree groups, payload bits
-  std::memset(out, 0, kLane);
+  std::memset(out, 0, sizeof(scratch));
   out[0] = uint8_t(enc_bits & 0xFF);
   out[1] = uint8_t(enc_bits >> 8);
   int pos = 3;
@@ -225,6 +236,7 @@ int encode_block(const int16_t* coef, uint8_t* out) {
     pos += (enc_bits + 7) / 8;
   }
   if (pos > 255) return 0;  // chunk size must fit the u8 size field
+  std::memcpy(out_lane, scratch, kLane);
   return pos;
 }
 
@@ -361,6 +373,160 @@ int64_t myyuv_decode_blocks(const uint8_t* sizes, const uint8_t* content,
         int64_t expect = 0;
         failed.compare_exchange_strong(expect, (k + 1) * 16 + err);
       }
+    }
+  });
+  return failed.load();
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Full native CPU codec path: fused per-block DCT + quantize + Huffman.
+//
+// Bit-exact with the reference's scalar float32 arithmetic (SURVEY.md §7.2):
+// sequential ascending-k f32 accumulation in the two 8x8 matmuls, f32
+// division by the quality-scaled table, std::round half-away-from-zero.
+// MUST be compiled with -ffp-contract=off: -march=native enables FMA3 and
+// GCC would otherwise contract mul+add into single-rounded FMAs, breaking
+// bit-exactness exactly like the TPU backend does (kernels/device.py).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// float32 orthonormal DCT-II matrix; the 64 exact constants are part of the
+// format contract (kernels/constants.py DCT_MATRIX8).
+const float kDct[64] = {
+    0.3535533845424652f, 0.3535533845424652f, 0.3535533845424652f,
+    0.3535533845424652f, 0.3535533845424652f, 0.3535533845424652f,
+    0.3535533845424652f, 0.3535533845424652f,
+    0.4903925955295563f, 0.4157347679138184f, 0.277785062789917f,
+    0.09754510968923569f, -0.09754515439271927f, -0.2777851521968842f,
+    -0.4157347977161407f, -0.4903926253318787f,
+    0.4619397222995758f, 0.1913416981697083f, -0.1913417428731918f,
+    -0.4619397819042206f, -0.4619397222995758f, -0.1913415491580963f,
+    0.1913417875766754f, 0.4619397521018982f,
+    0.4157347679138184f, -0.09754515439271927f, -0.4903926253318787f,
+    -0.2777849733829498f, 0.2777851819992065f, 0.4903925955295563f,
+    0.09754502773284912f, -0.4157348573207855f,
+    0.3535533547401428f, -0.3535533547401428f, -0.353553295135498f,
+    0.3535534739494324f, 0.3535533547401428f, -0.3535535931587219f,
+    -0.3535532355308533f, 0.3535533845424652f,
+    0.277785062789917f, -0.4903926253318787f, 0.09754519909620285f,
+    0.4157346487045288f, -0.4157348573207855f, -0.09754510223865509f,
+    0.4903926253318787f, -0.2777853906154633f,
+    0.1913416981697083f, -0.4619397222995758f, 0.4619397521018982f,
+    -0.1913419365882874f, -0.1913414746522903f, 0.4619396328926086f,
+    -0.4619398415088654f, 0.1913419365882874f,
+    0.09754510968923569f, -0.2777849733829498f, 0.4157346487045288f,
+    -0.4903925657272339f, 0.4903926849365234f, -0.4157347679138184f,
+    0.2777855396270752f, -0.09754576534032822f};
+
+// acc[i][j] = sum_k a[i][k] * b[k][j], rounded to f32 after every op
+inline void mm8(const float* a, const float* b, float* out) {
+  for (int i = 0; i < 8; ++i) {
+    for (int j = 0; j < 8; ++j) {
+      float acc = a[i * 8 + 0] * b[0 * 8 + j];
+      for (int k = 1; k < 8; ++k) acc = acc + a[i * 8 + k] * b[k * 8 + j];
+      out[i * 8 + j] = acc;
+    }
+  }
+}
+
+inline void mm8_bt(const float* a, const float* bt, float* out) {
+  // out = a . bt^T with bt stored row-major (i.e. out[i][j] = sum a[i][k] bt[j][k])
+  for (int i = 0; i < 8; ++i) {
+    for (int j = 0; j < 8; ++j) {
+      float acc = a[i * 8 + 0] * bt[j * 8 + 0];
+      for (int k = 1; k < 8; ++k) acc = acc + a[i * 8 + k] * bt[j * 8 + k];
+      out[i * 8 + j] = acc;
+    }
+  }
+}
+
+void dct_quantize_block(const uint8_t* px, int stride, const float* qtab,
+                        int16_t* coef) {
+  float x[64], t[64], c[64];
+  for (int i = 0; i < 8; ++i)
+    for (int j = 0; j < 8; ++j)
+      x[i * 8 + j] = float(px[i * stride + j]) - 128.0f;
+  mm8(kDct, x, t);       // C . B
+  mm8_bt(t, kDct, c);    // (C.B) . C^T
+  for (int i = 0; i < 64; ++i)
+    coef[i] = int16_t(std::round(c[i] / qtab[i]));
+}
+
+void dequantize_idct_block(const int16_t* coef, const float* qtab,
+                           uint8_t* px, int stride) {
+  float x[64], t[64], c[64];
+  for (int i = 0; i < 64; ++i) x[i] = float(coef[i]) * qtab[i];
+  // C^T . X : (C^T)[i][k] = C[k][i]
+  for (int i = 0; i < 8; ++i)
+    for (int j = 0; j < 8; ++j) {
+      float acc = kDct[0 * 8 + i] * x[0 * 8 + j];
+      for (int k = 1; k < 8; ++k) acc = acc + kDct[k * 8 + i] * x[k * 8 + j];
+      t[i * 8 + j] = acc;
+    }
+  mm8(t, kDct, c);       // (C^T.X) . C
+  for (int i = 0; i < 8; ++i)
+    for (int j = 0; j < 8; ++j) {
+      int v = int(std::round(c[i * 8 + j])) + 128;
+      px[i * stride + j] = uint8_t(v < 0 ? 0 : (v > 255 ? 255 : v));
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Fused plane compress: [H, W] u8 plane -> per-block chunks in lanes +
+// sizes. Returns 0 on success or 1-based failing block index.
+int64_t myyuv_compress_plane(const uint8_t* plane, int64_t width,
+                             int64_t height, const float* qtab,
+                             uint8_t* lanes_out, uint8_t* sizes_out,
+                             int32_t n_threads) {
+  int64_t bw = width / 8, bh = height / 8;
+  std::atomic<int64_t> failed{0};
+  run_parallel(bw * bh, n_threads, [&](int64_t lo, int64_t hi) {
+    int16_t coef[64];
+    for (int64_t k = lo; k < hi; ++k) {
+      int64_t by = k / bw, bx = k % bw;
+      const uint8_t* px = plane + (by * 8) * width + bx * 8;
+      dct_quantize_block(px, int(width), qtab, coef);
+      int sz = encode_block(coef, lanes_out + k * kLane);
+      sizes_out[k] = uint8_t(sz);
+      if (sz == 0) {
+        int64_t expect = 0;
+        failed.compare_exchange_strong(expect, k + 1);
+      }
+    }
+  });
+  return failed.load();
+}
+
+// Fused plane decompress: ragged chunk stream -> [H, W] u8 plane.
+// Returns 0 on success, else (block+1)*16 + error code.
+int64_t myyuv_decompress_plane(const uint8_t* sizes, const uint8_t* content,
+                               int64_t content_len, int64_t width,
+                               int64_t height, const float* qtab,
+                               uint8_t* plane_out, int32_t n_threads) {
+  int64_t bw = width / 8, bh = height / 8, nb = bw * bh;
+  std::vector<int64_t> offs(size_t(nb) + 1);
+  offs[0] = 0;
+  for (int64_t k = 0; k < nb; ++k) offs[k + 1] = offs[k] + sizes[k];
+  if (offs[size_t(nb)] > content_len) return 15;
+  std::atomic<int64_t> failed{0};
+  run_parallel(nb, n_threads, [&](int64_t lo, int64_t hi) {
+    int16_t coef[64];
+    for (int64_t k = lo; k < hi; ++k) {
+      int err = decode_block(content + offs[k], int(sizes[k]), coef);
+      if (err != 0) {
+        int64_t expect = 0;
+        failed.compare_exchange_strong(expect, (k + 1) * 16 + err);
+        continue;
+      }
+      int64_t by = k / bw, bx = k % bw;
+      dequantize_idct_block(coef, qtab, plane_out + (by * 8) * width + bx * 8,
+                            int(width));
     }
   });
   return failed.load();

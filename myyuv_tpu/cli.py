@@ -145,9 +145,28 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="decode to an RGB .bmp (viewer-equivalent export)")
     g.add_argument("-preview", action="store_true",
                    help="render to ANSI truecolor in the terminal")
+    g.add_argument("-cube", action="store_true",
+                   help="render the spinning-textured-cube demo frames "
+                        "(software analog of myyuv_opengl_spinning_cube)")
+    p.add_argument("-frames", type=int, default=24,
+                   help="frame count for -cube")
+    p.add_argument("-size", type=int, default=512,
+                   help="output resolution for -cube")
     p.add_argument("-o", "--output", type=Path, default=None)
+    p.add_argument("--platform", choices=["auto", "cpu", "tpu"],
+                   default="auto",
+                   help="JAX platform for the compute path (default auto; "
+                        "'cpu' avoids device compiles for one-shot use)")
+    p.add_argument("--backend", choices=["auto", "device", "native", "cpu"],
+                   default="auto",
+                   help="codec backend: 'device' = fully on-chip entropy, "
+                        "'native' = device transform + C++ host entropy, "
+                        "'cpu' = fused native CPU codec")
     args = p.parse_args(argv)
 
+    if args.platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from .runtime import jaxcache
     jaxcache.enable()
 
@@ -167,6 +186,20 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         if args.preview:
             _preview(args.image, kind, args.output)
+            return 0
+
+        if args.cube:
+            from .viewer import cube
+            if kind == "bmp":
+                tex = BMPImage.load(args.image).pixels_topdown()
+            else:
+                from .engine import pipeline
+                tex = pipeline.iyuv_to_bgrx(YUVImage.load(args.image))
+            out = args.output or _default_out(args.image, "", "-cube")
+            with _Timer("cube render"):
+                paths = cube.render_spinning_cube(
+                    tex, out, n_frames=args.frames, out_size=args.size)
+            print(f"wrote {len(paths)} frames to {out}/")
             return 0
 
         if args.to_yuv is not None:
@@ -193,7 +226,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                 raise MyYUVError(f"Unknown compression {args.compress[0]}")
             params = _fill_qualities([int(v) for v in args.compress[1:]])
             with _Timer("compression"):
-                comp = img.compress(ctype, params)
+                if args.backend != "auto":
+                    from .engine import pipeline
+                    comp = pipeline.compress_dct(
+                        img, params, entropy_backend=args.backend)
+                else:
+                    comp = img.compress(ctype, params)
             out = args.output or _default_out(
                 args.image, ".myyuv", f"-DCT-{params[0]}")
             comp.dump(out)
@@ -204,7 +242,12 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         if args.decompress:
             with _Timer("decompression"):
-                dec = img.decompress()
+                if args.backend != "auto" and img.is_compressed():
+                    from .engine import pipeline
+                    dec = pipeline.decompress_dct(
+                        img, entropy_backend=args.backend)
+                else:
+                    dec = img.decompress()
             out = args.output or _default_out(args.image, ".myyuv", "-decomp")
             dec.dump(out)
             print(f"wrote {out}")

@@ -131,7 +131,9 @@ def _exact_quantize(coef: jnp.ndarray, qtable: jnp.ndarray) -> jnp.ndarray:
         p2 = half_ulp * q                       # exact: 1 x 8 bits
         c1 = a - p1                             # exact (Sterbenz near tie)
         even = (bits & 1) == 0                  # B mantissa parity
-        return jnp.where(even, c1 >= -p2, c1 > -p2)
+        # boolean algebra, not where(even, >=, >): Mosaic cannot lower a
+        # select between two i1 vectors (i8->i1 trunci is unsupported)
+        return (c1 > -p2) | (even & (c1 == -p2))
 
     lo = ge_tie(n0 - F32(0.5))
     hi = ge_tie(n0 + F32(0.5))

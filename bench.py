@@ -183,10 +183,14 @@ def main() -> int:
     cpu_s = None
     if native.available():
         streams, ry_cpu = roundtrip_cpu()
-        t0 = time.perf_counter()
-        for _ in range(REPS):
-            streams, ry_cpu = roundtrip_cpu()
-        cpu_s = (time.perf_counter() - t0) / REPS
+        # two measurement rounds, best-of: the async TPU runtime can steal
+        # host cores for a while after the device phases above
+        cpu_s = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(REPS):
+                streams, ry_cpu = roundtrip_cpu()
+            cpu_s = min(cpu_s, (time.perf_counter() - t0) / REPS)
         log(f"fused native CPU roundtrip: {1/cpu_s:.2f} frames/s "
             f"({cpu_s*1e3:.0f} ms)")
         assert np.array_equal(ry_cpu, ry), "cpu/hybrid paths disagree"

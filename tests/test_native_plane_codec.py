@@ -47,3 +47,20 @@ def test_cpu_backend_pipeline_matches(images_dir):
     # roundtrip through the default (device-transform) decompressor
     d_def = pipeline.decompress_dct(c_cpu)
     np.testing.assert_array_equal(d_cpu.data, d_def.data)
+
+
+def test_4k_golden_decompress_matches_oracle(images_dir, oracle_cli,
+                                             tmp_path):
+    """Full-size differential: the 4K golden decodes byte-identically."""
+    import subprocess
+    from myyuv_tpu import YUVImage
+    from myyuv_tpu.engine import pipeline
+    if not native.available():
+        pytest.skip("native library unavailable")
+    src = images_dir / "chef-with-trumpet-big-DCT-50.myyuv"
+    ours = pipeline.decompress_dct(YUVImage.load(src),
+                                   entropy_backend="cpu")
+    ref_out = tmp_path / "ref4k.myyuv"
+    subprocess.run([str(oracle_cli), str(src), "-decompress", "-o",
+                    str(ref_out)], check=True, capture_output=True)
+    assert ours.to_bytes() == ref_out.read_bytes()

@@ -94,11 +94,14 @@ def compress_frame(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     # invalid lane bytes re-target the row's last valid byte with a zero
     # add: a sink index would break global monotonicity across rows, and
     # indices_are_sorted is what keeps this scatter's lowering cheap.
+    # (No unique_indices hint: the re-targeted indices deliberately
+    # duplicate the row's last position; add-of-zero keeps it correct
+    # under any scatter ordering.)
     flat_pos = offs[:, None] + jnp.minimum(j, sizes[:, None] - 1)
     content = jnp.zeros((cap,), jnp.uint8).at[
         flat_pos.reshape(-1)].add(
         jnp.where(valid, lanes, 0).reshape(-1), mode="drop",
-        unique_indices=True, indices_are_sorted=True)
+        indices_are_sorted=True)
     return content, sizes, total, jnp.all(ok) & (total <= cap)
 
 
@@ -151,7 +154,7 @@ def compress_plane(plane: jnp.ndarray, qtable: jnp.ndarray,
     content = jnp.zeros((cap,), jnp.uint8).at[
         flat_pos.reshape(-1)].add(
         jnp.where(valid, lanes, 0).reshape(-1), mode="drop",
-        unique_indices=True, indices_are_sorted=True)
+        indices_are_sorted=True)
     all_ok = jnp.all(ok) & (total <= cap)
     return content, sizes, total, all_ok
 
@@ -181,19 +184,24 @@ def roundtrip_planes(planes, qtables, precision: str = "exact"):
     """Full on-chip roundtrip of one frame's planes; returns device arrays.
 
     Dispatches all compresses before all decompresses so XLA can overlap;
-    returns (recon_planes, total_compressed_bytes).
+    returns (recon_planes, total_compressed_bytes, ok) where ``ok`` is the
+    AND of every compress/decompress status flag — False means capacity
+    overflow or a bad decode, and the planes/byte count must not be
+    trusted.
     """
     comp = [compress_plane(p, q, precision=precision)
             for p, q in zip(planes, qtables)]
     recon = []
     total = jnp.int32(0)
+    all_ok = jnp.bool_(True)
     for (content, sizes, t, ok), p, q in zip(comp, planes, qtables):
         h, w = p.shape
         r, dok = decompress_plane(content, sizes, q, h, w,
                                   precision=precision)
         recon.append(r)
         total = total + t
-    return recon, total
+        all_ok = all_ok & ok & dok
+    return recon, total, all_ok
 
 
 # ---------------------------------------------------------------------------

@@ -27,7 +27,7 @@ import numpy as np
 from .. import entropy
 from ..formats import dct_stream, yuv
 from ..kernels import constants, device
-from ..runtime.errors import GeometryError, MyYUVError
+from ..runtime.errors import BitstreamError, GeometryError, MyYUVError
 from . import host_codec
 
 
@@ -52,13 +52,20 @@ def compress_dct(img: yuv.YUVImage, params: bytes,
 
     if entropy_backend == "device":
         # fully on-chip: transform + entropy on device, only compressed
-        # bytes pulled back (engine.device_stream, one jit per geometry)
+        # bytes pulled back (engine.device_stream, one jit per geometry).
+        # The device content buffer is statically sized (CAP_PER_BLOCK);
+        # frames whose chunks overflow it (low quality, high entropy) fall
+        # back to the host entropy stage instead of failing.
         from . import device_stream
-        streams = [
-            dct_stream.DCTPlaneStream(
-                sizes, np.frombuffer(content.tobytes(), np.uint8))
-            for sizes, content in device_stream.compress_frame_to_streams(
-                planes, qtables, precision=precision)]
+        try:
+            streams = [
+                dct_stream.DCTPlaneStream(
+                    sizes, np.frombuffer(content.tobytes(), np.uint8))
+                for sizes, content in device_stream.compress_frame_to_streams(
+                    planes, qtables, precision=precision)]
+        except BitstreamError:
+            return compress_dct(img, params, precision=precision,
+                                entropy_backend=None)
     elif entropy_backend == "cpu":
         # fused native CPU path: per-block DCT+quantize+Huffman in C++
         # threads, zero device traffic (native/entropy.cpp; bit-exact)
@@ -116,10 +123,17 @@ def decompress_dct(img: yuv.YUVImage,
                 f"plane {i}: expected {expect} blocks, stream has "
                 f"{0 if s is None else s.num_blocks}")
     if entropy_backend == "device":
+        # device capacity overflow (streams larger than the static lane
+        # buffers) retries through the host entropy stage; genuinely
+        # malformed streams still raise from the host decoder.
         from . import device_stream
-        planes = list(device_stream.decompress_streams_to_frame(
-            [(s.chunk_sizes, s.content) for s in streams.planes],
-            qtables, img.height, img.width, precision=precision))
+        try:
+            planes = list(device_stream.decompress_streams_to_frame(
+                [(s.chunk_sizes, s.content) for s in streams.planes],
+                qtables, img.height, img.width, precision=precision))
+        except BitstreamError:
+            return decompress_dct(img, precision=precision,
+                                  entropy_backend=None)
     elif entropy_backend == "cpu":
         from .. import native
         planes = []

@@ -138,6 +138,11 @@ def decode_lanes(lanes: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
                 | (_take_byte(lanes, jnp.ones((n,), I32)) << 8))
     tree_size = _take_byte(lanes, jnp.full((n,), 2, I32))
     counts, base, symflat = _parse_trees(lanes, tree_size)
+    # a valid tree has <= 64 symbols (one per coefficient); larger totals
+    # mean _parse_trees silently dropped entries -> flag the row bad (the
+    # reference decoder throws on such streams, Huffman.cpp:121-139)
+    total_syms = jnp.sum(counts, axis=1)
+    tree_bad = total_syms > 64
 
     # canonical first_code per length: first[l+1] = (first[l]+count[l])<<1
     def fc_step(l, fc):
@@ -169,11 +174,16 @@ def decode_lanes(lanes: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
             # also require enough bits left for an honest L-bit code
             length = jnp.where(hit, L, length)
             code = jnp.where(hit, cL, code)
-        ok_sym = (length <= 8) & (bitpos + length <= enc_bits)
         pos = jnp.take_along_axis(
             base, jnp.clip(length, 0, 8)[:, None], axis=1)[:, 0] \
             + code - jnp.take_along_axis(
                 first_code, jnp.clip(length, 0, 8)[:, None], axis=1)[:, 0]
+        cnt_hit = jnp.take_along_axis(
+            counts, jnp.clip(length, 0, 8)[:, None], axis=1)[:, 0]
+        # out-of-table = bad code (reference: 'Huffman bad code'), not a
+        # silently clipped index
+        ok_sym = (length <= 8) & (bitpos + length <= enc_bits) \
+            & (cnt_hit > 0) & (pos >= 0) & (pos < total_syms)
         sym = jnp.take_along_axis(
             symflat, jnp.clip(pos, 0, 63)[:, None], axis=1)[:, 0]
         write = active & ok_sym
@@ -186,7 +196,7 @@ def decode_lanes(lanes: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
     bitpos0 = jnp.zeros((n,), I32)
     coeffs0 = jnp.zeros((n, 64), jnp.int16)
-    bad0 = jnp.zeros((n,), bool)
+    bad0 = tree_bad
     bitpos, coeffs, bad = jax.lax.fori_loop(
         0, 64, sym_step, (bitpos0, coeffs0, bad0))
     ok = ~bad & (bitpos == enc_bits)

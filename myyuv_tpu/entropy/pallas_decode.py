@@ -116,6 +116,9 @@ def _decode_kernel(words_ref, meta_ref, zz_ref, out_ref, ok_ref):
         hdr = _bitrev8(_shr_l(W0, 24) & 0xFF)
         length = (hdr >> 5) + 1
         cnt = jnp.where(active, (hdr & 31) + 1, 0)
+        # trees with > 64 symbols overflow the stores silently -> flag bad
+        # (the reference decoder throws; ADVICE round 1)
+        bad = bad | (active & (nstored + cnt > 64)).astype(I32)
         st = consume(st, jnp.where(active, 8, 0))
 
         def sym_body(t, inner):
@@ -174,10 +177,13 @@ def _decode_kernel(words_ref, meta_ref, zz_ref, out_ref, ok_ref):
             hit = cL < first_code[L:L + 1, :] + counts[L:L + 1, :]
             length = jnp.where(hit, L, length)
             code = jnp.where(hit, cL, code)
-        ok_sym = (length <= 8) & (bitpos + length <= enc_bits)
         idx = code - jnp.sum(
             jnp.where(iota9 == length, first_code, 0), axis=0, keepdims=True)
         match = (lenstore == length) & (rankstore == idx)
+        # an empty (length, rank) match is an out-of-table code -> bad
+        # row, not a silent symbol 0 (ADVICE round 1)
+        nmatch = jnp.sum(match.astype(I32), axis=0, keepdims=True)
+        ok_sym = (length <= 8) & (bitpos + length <= enc_bits) & (nmatch > 0)
         sym = jnp.sum(jnp.where(match, symstore, 0), axis=0, keepdims=True)
         write = active & ok_sym
         zzp = jnp.sum(jnp.where(iota64_1 == p, zz_ref[...], 0),

@@ -76,3 +76,45 @@ def test_corrupt_chunk_flagged(coeffs, encoded):
     ok2 = np.asarray(ok2)
     assert not ok2[5]
     assert ok2[6:].all()
+
+
+def _oversized_tree_lane():
+    """A chunk whose tree section declares 96 symbols (> the 64 max).
+
+    The reference decoder throws on such streams; both device decoders must
+    flag the row bad instead of silently dropping symbols (ADVICE round 1).
+    """
+    chunk = bytearray()
+    chunk += (0).to_bytes(2, "little")          # enc_bits = 0
+    group = bytes([((8 - 1) << 5) | 31]) + bytes(44)  # 32 syms of len 8
+    tree = group * 3                            # 96 symbols total
+    chunk.append(len(tree))                     # tree_data_size = 135
+    chunk += tree
+    lane = np.zeros((256,), np.uint8)
+    lane[: len(chunk)] = np.frombuffer(bytes(chunk), np.uint8)
+    return lane
+
+
+def test_oversized_tree_flagged_xla(coeffs, encoded):
+    lanes, sizes, ok = encoded
+    bad = lanes.copy()
+    bad[7] = _oversized_tree_lane()
+    _, ok2 = edev.decode_lanes(jnp.asarray(bad))
+    ok2 = np.asarray(ok2)
+    assert not ok2[7]
+    assert ok2[8:].all()
+
+
+def test_oversized_tree_flagged_pallas():
+    from myyuv_tpu.entropy import pallas_decode
+
+    rng = np.random.default_rng(3)
+    c = (rng.integers(-128, 128, (32, 64))
+         * (rng.random((32, 64)) < 0.2)).astype(np.int16)
+    sizes, content = encode_blocks_py(c)
+    lanes = DCTPlaneStream(sizes, content).to_lanes()
+    lanes[4] = _oversized_tree_lane()
+    _, ok = pallas_decode.decode_lanes(jnp.asarray(lanes), interpret=True)
+    ok = np.asarray(ok)
+    assert not ok[4]
+    assert ok[5:].all()

@@ -94,3 +94,23 @@ def test_compress_size_parity_with_golden(images_dir):
     golden = YUVImage.load(images_dir / "chef-with-trumpet-DCT-50.myyuv")
     ratio = comp.data.size / golden.data.size
     assert abs(ratio - 1.0) < 0.005, ratio
+
+
+def test_device_backend_falls_back_on_overflow(rng):
+    """q=100 noise overflows CAP_PER_BLOCK; the device entropy backend must
+    fall back to the host path, not fail (VERDICT/ADVICE round 1)."""
+    h = w = 32
+    planes = [rng.integers(0, 256, (h, w), np.uint8),
+              rng.integers(0, 256, (h // 2, w // 2), np.uint8),
+              rng.integers(0, 256, (h // 2, w // 2), np.uint8)]
+    img = YUVImage.from_planes(yuvmod.FourccFormats.IYUV, planes, w, h)
+    params = bytes([100, 100, 100])
+    comp_dev = pipeline.compress_dct(img, params, entropy_backend="device")
+    comp_host = pipeline.compress_dct(img, params)
+    # identical compressed payload via the fallback's host entropy stage
+    np.testing.assert_array_equal(comp_dev.data, comp_host.data)
+    # decompress through the device backend falls back too (stream larger
+    # than the static device capacity)
+    dec_dev = pipeline.decompress_dct(comp_dev, entropy_backend="device")
+    dec_host = pipeline.decompress_dct(comp_host)
+    np.testing.assert_array_equal(dec_dev.data, dec_host.data)

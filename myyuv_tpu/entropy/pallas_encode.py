@@ -1,0 +1,366 @@
+"""Pallas TPU Huffman encoder: all blocks encode in lockstep, in VMEM.
+
+The round-2 mirror of entropy/pallas_decode.py (PERF_NOTES.md "Round-2
+Pallas encoder design"): the per-block Huffman::fromData + dump pipeline
+(reference Huffman.cpp:172-241,279-326) reformulated with zero dynamic
+addressing, blocks riding the LANE (minor) axis so every per-block register
+is a full-width [1, TILE] vector:
+
+1. distinct symbols + counts: 64 lockstep row steps comparing one message
+   row against all rows (count = equality sum, first-occurrence via a
+   row-index mask) — no general sort, and distinct symbols inherit symbol
+   order for free;
+2. leaf order for the Huffman merge: bitonic-64 ON THE SUBLANE AXIS with
+   keys count*4096 + (sym+1024) — identical ordering to the XLA encoder's
+   (count, gid) stable sort, so the emitted bytes are byte-identical.
+   Partner rows x[r^j] come from a select of two static row shifts (j is a
+   power of two), not gathers;
+3. two-queue merge (63 masked steps) + descending parent-depth sweep
+   (127 steps): one-hot sublane reductions for queue-head reads, masked
+   row blends for writes — the priority-queue-free formulation of
+   entropy/device.py, now in VMEM;
+4. canonical (len, sym) order via a second bitonic-64, then the Kraft
+   prefix sum as a 6-step log-scan with static row shifts;
+5. serialization: a sequential bit-append register (current word + bit
+   cursor) spilling into a [64, TILE] word register file — the exact
+   reverse of the decoder's refill schedule. Appends run MSB-first in the
+   same bit-reversed big-endian word space the decoder consumes, so the
+   XLA-side postprocessing is one elementwise byte split + bitrev.
+
+Output is byte-identical to entropy.device.encode_lanes (itself verified
+against the compiled reference CLI both directions).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from .reference import ZIGZAG
+
+I32 = jnp.int32
+TILE = 1024
+BIG = 1 << 29
+
+
+def _bitrev8(v):
+    v = ((v & 0xF0) >> 4) | ((v & 0x0F) << 4)
+    v = ((v & 0xCC) >> 2) | ((v & 0x33) << 2)
+    return ((v & 0xAA) >> 1) | ((v & 0x55) << 1)
+
+
+def _bitrev11(v):
+    r = jnp.zeros_like(v)
+    for i in range(11):
+        r = r | (((v >> i) & 1) << (10 - i))
+    return r
+
+
+def _shl(x, s):
+    """x << s with s possibly 0..32+ (saturating to 0), elementwise."""
+    return jnp.where(s >= 32, 0, x << jnp.minimum(s, 31))
+
+
+def _shr_l(x, s):
+    """Logical right shift of an i32 holding u32 bits, s in 0..32."""
+    ux = x & 0x7FFFFFFF
+    top = (x >> 31) & 1
+    r = (ux >> jnp.minimum(s, 31)) | _shl(top, 31 - s)
+    return jnp.where(s >= 32, 0, jnp.where(s == 0, x, r))
+
+
+def _shift_down(x, j):
+    """out[r] = x[r - j] (rows 0..j-1 read 0)."""
+    return jnp.concatenate([jnp.zeros((j, x.shape[1]), x.dtype), x[:-j]],
+                           axis=0)
+
+
+def _shift_up(x, j):
+    """out[r] = x[r + j] (top j rows read 0)."""
+    return jnp.concatenate([x[j:], jnp.zeros((j, x.shape[1]), x.dtype)],
+                           axis=0)
+
+
+def _bitonic64(key, iota64):
+    """Ascending bitonic sort of the 64 rows, elementwise per lane.
+
+    Partner x[r^j]: for rows with bit j clear it is x[r+j], else x[r-j]
+    (both static shifts); the pad rows are never selected.
+    """
+    for k in (2, 4, 8, 16, 32, 64):
+        j = k >> 1
+        while j >= 1:
+            partner = jnp.where((iota64 & j) == 0, _shift_up(key, j),
+                                _shift_down(key, j))
+            keep_min = ((iota64 & k) == 0) == ((iota64 & j) == 0)
+            key = jnp.where(keep_min, jnp.minimum(key, partner),
+                            jnp.maximum(key, partner))
+            j >>= 1
+    return key
+
+
+def _row(x, r, iota):
+    """One-hot read of row r (a [1, TILE] index vector) -> [1, TILE]."""
+    return jnp.sum(jnp.where(iota == r, x, 0), axis=0, keepdims=True)
+
+
+def _encode_kernel(msg_ref, words_ref, size_ref, ok_ref):
+    """msg [64, TILE] i32 zigzag-ordered coefficients ->
+    words [64, TILE] i32 (bit-reversed big-endian packed stream),
+    size [1, TILE] i32 chunk bytes, ok [1, TILE] i32."""
+    msg = msg_ref[...]
+    iota64 = jax.lax.broadcasted_iota(I32, (64, TILE), 0)
+    iota128 = jax.lax.broadcasted_iota(I32, (128, TILE), 0)
+
+    # ---- message trim (Huffman.cpp:174-203) -----------------------------
+    mlen = jnp.max(jnp.where(msg != 0, iota64 + 1, 0), axis=0, keepdims=True)
+    mlen = jnp.maximum(mlen, 1)                      # all-zero -> one 0 sym
+    validall = iota64 < mlen                          # [64, TILE]
+
+    # ---- distinct symbols + counts + first-occurrence -------------------
+    def count_body(p, carry):
+        counts, first = carry
+        m_p = _row(msg, p, iota64)
+        eq = (msg == m_p) & validall
+        cnt_p = jnp.sum(eq.astype(I32), axis=0, keepdims=True)
+        dup = jnp.sum((eq & (iota64 < p)).astype(I32), axis=0,
+                      keepdims=True) > 0
+        first_p = (p < mlen) & ~dup
+        sel = iota64 == p
+        counts = jnp.where(sel, cnt_p, counts)
+        first = jnp.where(sel, first_p.astype(I32), first)
+        return counts, first
+
+    counts, first = jax.lax.fori_loop(
+        0, 64, count_body,
+        (jnp.zeros((64, TILE), I32), jnp.zeros((64, TILE), I32)))
+    firstb = (first != 0) & validall
+    n_sym = jnp.sum(firstb.astype(I32), axis=0, keepdims=True)  # [1, TILE]
+
+    # ---- leaf sort by (count, symbol) -----------------------------------
+    leafkey = jnp.where(firstb, counts * 4096 + msg + 1024, BIG)
+    leafkey = _bitonic64(leafkey, iota64)
+    in_rows = iota64 < n_sym
+    leafw = jnp.where(in_rows, leafkey >> 12, BIG)    # counts, sorted
+    leafsym = jnp.where(in_rows, (leafkey & 4095) - 1024, 0)
+
+    # ---- two-queue Huffman merge (63 masked steps) ----------------------
+    def pick(state):
+        lh, ih, it, intw, active = state
+        lw = _row(leafw, lh, iota64)
+        iw = _row(intw, ih, iota64)
+        leaf_has = lh < n_sym
+        int_has = ih < it
+        take_leaf = leaf_has & (~int_has | (lw <= iw))
+        w = jnp.where(take_leaf, lw, iw)
+        node = jnp.where(take_leaf, lh, 64 + ih)
+        lh = lh + (take_leaf & active).astype(I32)
+        ih = ih + (~take_leaf & active).astype(I32)
+        return (lh, ih, it, intw, active), w, node
+
+    def merge_body(s, carry):
+        lh, ih, it, intw, parent = carry
+        active = it < n_sym - 1
+        st = (lh, ih, it, intw, active)
+        st, w1, node1 = pick(st)
+        st, w2, node2 = pick(st)
+        lh, ih, it, intw, _ = st
+        new_id = 64 + it
+        n1 = jnp.where(active, node1, 127)
+        n2 = jnp.where(active, node2, 127)
+        parent = jnp.where(iota128 == n1, new_id, parent)
+        parent = jnp.where(iota128 == n2, new_id, parent)
+        intw = jnp.where((iota64 == it) & active, w1 + w2, intw)
+        it = it + active.astype(I32)
+        return lh, ih, it, intw, parent
+
+    zero1 = jnp.zeros((1, TILE), I32)
+    lh, ih, it, intw, parent = jax.lax.fori_loop(
+        0, 63, merge_body,
+        (zero1, zero1, zero1, jnp.full((64, TILE), BIG, I32),
+         jnp.zeros((128, TILE), I32)))
+
+    # ---- depth sweep: ids descending, parents have larger ids ----------
+    root = 64 + n_sym - 2                             # valid when n_sym >= 2
+
+    def depth_body(i, depth):
+        nid = 126 - i
+        pidx = _row(parent, nid, iota128)
+        pd = _row(depth, pidx, iota128)
+        d = jnp.where(nid == root, 0, pd + 1)
+        return jnp.where(iota128 == nid, d, depth)
+
+    depth = jax.lax.fori_loop(0, 127, depth_body, jnp.zeros((128, TILE), I32))
+    leaf_len = jnp.where(n_sym == 1, 1, depth[:64])   # per sorted-leaf row
+
+    # ---- canonical (len, sym) order + Kraft codes ----------------------
+    key2 = jnp.where(in_rows, leaf_len * 4096 + leafsym + 1024, BIG)
+    key2 = _bitonic64(key2, iota64)
+    len_c = jnp.where(in_rows, key2 >> 12, 0)
+    sym_c = jnp.where(in_rows, (key2 & 4095) - 1024, 0)
+    ok = jnp.min(jnp.where(in_rows, (len_c >= 1) & (len_c <= 8), 1)
+                 .astype(I32), axis=0, keepdims=True)
+
+    lc = jnp.clip(len_c, 1, 8)
+    kraft = jnp.where(in_rows, 1 << (8 - lc), 0)
+    incl = kraft
+    for s in (1, 2, 4, 8, 16, 32):
+        incl = incl + _shift_down(incl, s)
+    code_c = (incl - kraft) >> (8 - lc)               # exclusive prefix
+
+    # ---- per-message-position (len, code) lookup -----------------------
+    def lut_body(c, carry):
+        plen, pcode = carry
+        s = _row(sym_c, c, iota64)
+        l = _row(len_c, c, iota64)
+        cd = _row(code_c, c, iota64)
+        match = (msg == s) & (c < n_sym)
+        plen = jnp.where(match, l, plen)
+        pcode = jnp.where(match, cd, pcode)
+        return plen, pcode
+
+    plen, pcode = jax.lax.fori_loop(
+        0, 64, lut_body,
+        (jnp.zeros((64, TILE), I32), jnp.zeros((64, TILE), I32)))
+    enc_bits = jnp.sum(jnp.where(validall, plen, 0), axis=0, keepdims=True)
+
+    # ---- group structure over canonical rows (Huffman.cpp:300-316) -----
+    prev_len = _shift_down(len_c, 1) + jnp.where(iota64 == 0, -1, 0)
+    run_start = in_rows & (len_c != prev_len)
+    # last run start at or before each row: log-scan running max
+    lrs = jnp.where(run_start, iota64, -1)
+    for s in (1, 2, 4, 8, 16, 32):
+        lrs = jnp.maximum(lrs, _shift_down(lrs, s) +
+                          jnp.where(iota64 < s, -64, 0))
+    idx_in_run = iota64 - lrs
+    grp_start = in_rows & (run_start | ((idx_in_run & 31) == 0))
+    # next boundary strictly after each row (run start or end of table):
+    # reverse running min over shifted-up boundary positions
+    bpos = jnp.where(run_start | ~in_rows, iota64, 99)
+    nxt = _shift_up(bpos, 1) + jnp.where(iota64 >= 63, 99, 0)
+    for s in (1, 2, 4, 8, 16, 32):
+        nxt = jnp.minimum(nxt, _shift_up(nxt, s) +
+                          jnp.where(iota64 >= 64 - s, 99, 0))
+    nxt = jnp.minimum(nxt, 64)
+    gcnt = jnp.minimum(nxt, iota64 + 32) - iota64      # valid at grp_start
+    grp_bytes = jnp.where(grp_start, 1 + (gcnt * 11 + 7) // 8, 0)
+    tree_size = jnp.sum(grp_bytes, axis=0, keepdims=True)
+    size = 3 + tree_size + (enc_bits + 7) // 8
+    ok = ok & (size <= 255).astype(I32)
+
+    # composite per-row tree record for one one-hot read per loop step:
+    # grp_start(1b)<<28 | in_rows(1b)<<27 | gcnt(6b)<<21 | len(4b)<<17 |
+    # (sym+1024)(11b)
+    tree_rec = (grp_start.astype(I32) << 28) | (in_rows.astype(I32) << 27) \
+        | (jnp.clip(gcnt, 0, 63) << 21) | (lc << 17) | (sym_c & 0x7FF)
+    # composite payload record: valid(1b)<<12 | len(4b)<<8 | code(8b)
+    pay_rec = (validall.astype(I32) << 12) | (jnp.clip(plen, 0, 8) << 8) \
+        | (pcode & 0xFF)
+
+    # ---- serialization: sequential bit-append machine -------------------
+    # Stream space matches the decoder's: bit-reversed bytes packed
+    # big-endian into words, appends fill each word from the MSB down.
+    def append(state, v, L):
+        """Append the L-bit value v (MSB-first in stream space); L may be
+        0 (no-op) and varies per lane."""
+        W0, nb, wi, regfile = state
+        v = jnp.where(L > 0, v, 0)
+        sh = 32 - nb - L
+        # both branches evaluate: clamp the shift amounts non-negative
+        W0 = W0 | jnp.where(sh >= 0, _shl(v, jnp.maximum(sh, 0)),
+                            _shr_l(v, jnp.maximum(-sh, 0)))
+        newnb = nb + L
+        spill = newnb >= 32
+        regfile = jnp.where((iota64 == wi) & spill, W0, regfile)
+        W0 = jnp.where(spill, _shl(v, 64 - newnb), W0)
+        wi = wi + spill.astype(I32)
+        nb = jnp.where(spill, newnb - 32, newnb)
+        return W0, nb, wi, regfile
+
+    st = (jnp.zeros((1, TILE), I32), jnp.zeros((1, TILE), I32),
+          jnp.zeros((1, TILE), I32), jnp.zeros((64, TILE), I32))
+    eight = jnp.full((1, TILE), 8, I32)
+    st = append(st, _bitrev8(enc_bits & 0xFF), eight)
+    st = append(st, _bitrev8(_shr_l(enc_bits, 8) & 0xFF), eight)
+    st = append(st, _bitrev8(tree_size & 0xFF), eight)
+
+    def tree_body(c, st):
+        rec = _row(tree_rec, c, iota64)
+        g_start = (rec >> 28) & 1
+        in_r = (rec >> 27) & 1
+        gc = (rec >> 21) & 63
+        ln = (rec >> 17) & 15
+        v11 = rec & 0x7FF
+        W0, nb, wi, regfile = st
+        pad = (8 - (nb & 7)) & 7
+        st = (W0, nb, wi, regfile)
+        st = append(st, jnp.zeros((1, TILE), I32),
+                    jnp.where(g_start > 0, pad, 0))
+        hdr = ((ln - 1) << 5) | (gc - 1)
+        st = append(st, _bitrev8(hdr), jnp.where(g_start > 0, 8, 0))
+        st = append(st, _bitrev11(v11), jnp.where(in_r > 0, 11, 0))
+        return st
+
+    st = jax.lax.fori_loop(0, 64, tree_body, st)
+    # close the last group to its byte boundary
+    W0, nb, wi, regfile = st
+    st = append((W0, nb, wi, regfile), jnp.zeros((1, TILE), I32),
+                (8 - (nb & 7)) & 7)
+
+    def pay_body(p, st):
+        rec = _row(pay_rec, p, iota64)
+        vld = (rec >> 12) & 1
+        ln = (rec >> 8) & 15
+        st = append(st, rec & 0xFF, jnp.where(vld > 0, ln, 0))
+        return st
+
+    st = jax.lax.fori_loop(0, 64, pay_body, st)
+    W0, nb, wi, regfile = st
+    regfile = jnp.where(iota64 == wi, W0, regfile)    # final flush
+
+    words_ref[...] = regfile
+    size_ref[...] = size
+    ok_ref[...] = ok
+
+
+def _unpack_words(words: jnp.ndarray) -> jnp.ndarray:
+    """[64, N] i32 packed words -> [N, 256] u8 lanes (inverse of the
+    decoder's _pack_words: big-endian byte split + bitrev)."""
+    w = words.T                                       # [N, 64]
+    parts = [_bitrev8((w >> sh) & 0xFF).astype(jnp.uint8)
+             for sh in (24, 16, 8, 0)]
+    return jnp.stack(parts, axis=-1).reshape(w.shape[0], 256)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def encode_lanes(coeffs: jnp.ndarray, interpret: bool = False):
+    """[N, 64] int16 coefficients -> ([N, 256] u8 lanes, [N] sizes, [N] ok).
+
+    Drop-in replacement for entropy.device.encode_lanes with byte-identical
+    output (reference semantics: Huffman.cpp:172-241,279-326)."""
+    n = coeffs.shape[0]
+    zz = jnp.asarray(np.asarray(ZIGZAG, np.int32))
+    msg = coeffs.astype(I32)[:, zz]                   # [N, 64] zigzag order
+    pad = (-n) % TILE
+    if pad:
+        msg = jnp.concatenate([msg, jnp.zeros((pad, 64), I32)], axis=0)
+    msgT = msg.T                                      # [64, N+pad]
+    grid = (msgT.shape[1] // TILE,)
+    words, size, ok = pl.pallas_call(
+        _encode_kernel,
+        out_shape=(jax.ShapeDtypeStruct((64, msgT.shape[1]), I32),
+                   jax.ShapeDtypeStruct((1, msgT.shape[1]), I32),
+                   jax.ShapeDtypeStruct((1, msgT.shape[1]), I32)),
+        grid=grid,
+        in_specs=[pl.BlockSpec((64, TILE), lambda i: (0, i))],
+        out_specs=(pl.BlockSpec((64, TILE), lambda i: (0, i)),
+                   pl.BlockSpec((1, TILE), lambda i: (0, i)),
+                   pl.BlockSpec((1, TILE), lambda i: (0, i))),
+        interpret=interpret,
+    )(msgT)
+    lanes = _unpack_words(words)[:n]
+    return lanes, size[0, :n], ok[0, :n] != 0

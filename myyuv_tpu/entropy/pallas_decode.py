@@ -2,7 +2,7 @@
 
 The v2 gather/scatter-free design (PERF_NOTES.md): each chunk's bytes are
 bit-reversed and packed into big-endian u32 words on the XLA side, and the
-kernel consumes the stream through a 64-bit lookahead window (two i32
+kernels consume the stream through a 64-bit lookahead window (two i32
 words) advanced by elementwise variable shifts — the "next bits" always
 sit at a fixed position, so there is no per-row dynamic addressing at all.
 Refills pull the next packed word via a fused one-hot select. Symbol
@@ -15,10 +15,20 @@ Layout: blocks ride the LANE (minor) dimension — every tensor is
 original [TILE, 1] orientation ran at 1/128th utilization (measured 717 ms
 vs this layout's time for the same 189k-block plane).
 
-Validity: streams whose tree section has more than MAX_GROUPS groups (the
-reference encoder emits <= 9; 16 gives slack) or any malformed code set
-the per-row ok flag False — callers fall back to the host decoder, so
-decoding is never silently wrong.
+Round-2 restructure: the tree section parses in a FLAT loop — one step per
+symbol (64 total) with the group-header consumption folded into the step
+where a new group begins — instead of the round-1 nested 16x32
+group/symbol sweep (512 lockstep steps, ~85% of kernel time for typical
+~8-symbol trees). Tree parse and payload decode are separate pallas_calls
+so each Mosaic program stays small enough to compile quickly (the fused
+flat variant exceeded 10-minute compiles in round 1); the payload kernel
+re-enters the bitstream directly at the byte-aligned payload offset
+(3 + tree_size bytes), so no window state crosses the kernel boundary.
+
+Validity: streams whose tree declares more than 64 symbols, whose section
+size disagrees with the parsed groups, or whose payload hits an
+out-of-table code set the per-row ok flag False — callers fall back to the
+host decoder, so decoding is never silently wrong.
 """
 
 from __future__ import annotations
@@ -34,7 +44,6 @@ from .reference import ZIGZAG
 
 I32 = jnp.int32
 TILE = 1024
-MAX_GROUPS = 16
 WORDS = 64          # 256 chunk bytes = 64 packed words
 
 
@@ -64,23 +73,8 @@ def _shr_l(x, s):
     return jnp.where(s >= 32, 0, jnp.where(s == 0, x, r))
 
 
-def _decode_kernel(words_ref, meta_ref, zz_ref, out_ref, ok_ref):
-    """words [WORDS, TILE] i32 (big-endian packed bit-reversed bytes),
-    meta [2, TILE] i32 = (enc_bits; tree_size), zz [64, 1] zigzag table ->
-    out [64, TILE] i16 coefficients (zigzag-restored), ok [1, TILE] i32."""
-    R = words_ref[...]
-    enc_bits = meta_ref[0:1, :]               # [1, TILE]
-    tree_size = meta_ref[1:2, :]
-
-    iota_w = jax.lax.broadcasted_iota(I32, (WORDS, TILE), 0)
-    iota64 = jax.lax.broadcasted_iota(I32, (64, TILE), 0)
-    iota9 = jax.lax.broadcasted_iota(I32, (9, TILE), 0)
-
-    # ---- 64-bit lookahead window ----------------------------------------
-    W0 = R[0:1, :]
-    W1 = R[1:2, :]
-    valid = jnp.full((1, TILE), 64, I32)
-    widx = jnp.full((1, TILE), 2, I32)
+def _make_consume(R, iota_w):
+    """Build the window-advance closure over the packed words R."""
 
     def consume(state, s):
         """advance the window by s (<= 24) bits, refilling as needed."""
@@ -97,62 +91,88 @@ def _decode_kernel(words_ref, meta_ref, zz_ref, out_ref, ok_ref):
         widx = widx + need.astype(I32)
         return (W0, W1, valid, widx)
 
-    st = consume((W0, W1, valid, widx), jnp.full((1, TILE), 24, I32))
+    return consume
 
-    # ---- tree parse: symbols + lengths + within-length ranks ------------
-    symstore = jnp.zeros((64, TILE), I32)
-    lenstore = jnp.zeros((64, TILE), I32)
-    rankstore = jnp.zeros((64, TILE), I32)
-    counts = jnp.zeros((9, TILE), I32)
-    nstored = jnp.zeros((1, TILE), I32)
-    consumed = jnp.zeros((1, TILE), I32)      # tree bytes consumed
-    bad = jnp.zeros((1, TILE), I32)
 
-    def group_body(g, carry):
-        (st, symstore, lenstore, rankstore, counts, nstored, consumed,
-         bad) = carry
+def _tree_kernel(words_ref, meta_ref, rec_ref, counts_ref, bad_ref):
+    """Flat tree parse: words [WORDS, TILE], meta [2, TILE] ->
+    rec [64, TILE] i32 packed (len<<17 | rank<<11 | sym11),
+    counts [9, TILE] per-length symbol counts, bad [1, TILE]."""
+    R = words_ref[...]
+    tree_size = meta_ref[1:2, :]
+    tree_bits = tree_size * 8
+
+    iota_w = jax.lax.broadcasted_iota(I32, (WORDS, TILE), 0)
+    iota64 = jax.lax.broadcasted_iota(I32, (64, TILE), 0)
+    iota9 = jax.lax.broadcasted_iota(I32, (9, TILE), 0)
+    consume = _make_consume(R, iota_w)
+
+    # window starts right after the 3 header bytes
+    st = (R[0:1, :], R[1:2, :], jnp.full((1, TILE), 64, I32),
+          jnp.full((1, TILE), 2, I32))
+    st = consume(st, jnp.full((1, TILE), 24, I32))
+
+    def step(t, carry):
+        st, g_rem, cur_len, consumed, nstored, counts, rec = carry
+        # start a new group when the current one is exhausted and tree
+        # bytes remain: consume the previous group's byte pad + the header
+        pad = (8 - (consumed & 7)) & 7
+        more = (g_rem == 0) & (consumed + pad < tree_bits)
+        st = consume(st, jnp.where(more, pad, 0))
         W0 = st[0]
-        active = consumed < tree_size
         hdr = _bitrev8(_shr_l(W0, 24) & 0xFF)
-        length = (hdr >> 5) + 1
-        cnt = jnp.where(active, (hdr & 31) + 1, 0)
-        # trees with > 64 symbols overflow the stores silently -> flag bad
-        # (the reference decoder throws; ADVICE round 1)
-        bad = bad | (active & (nstored + cnt > 64)).astype(I32)
-        st = consume(st, jnp.where(active, 8, 0))
+        st = consume(st, jnp.where(more, 8, 0))
+        cur_len = jnp.where(more, (hdr >> 5) + 1, cur_len)
+        g_rem = jnp.where(more, (hdr & 31) + 1, g_rem)
+        consumed = jnp.where(more, consumed + pad + 8, consumed)
+        # one symbol per step while inside a group
+        take = g_rem > 0
+        W0 = st[0]
+        v11 = _bitrev11(_shr_l(W0, 21) & 0x7FF)
+        lcount = jnp.sum(jnp.where(iota9 == cur_len, counts, 0),
+                         axis=0, keepdims=True)
+        entry = (cur_len << 17) | (lcount << 11) | v11
+        sel = (iota64 == nstored) & take
+        rec = jnp.where(sel, entry, rec)
+        counts = counts + jnp.where((iota9 == cur_len) & take, 1, 0)
+        nstored = nstored + take.astype(I32)
+        g_rem = g_rem - take.astype(I32)
+        consumed = consumed + jnp.where(take, 11, 0)
+        st = consume(st, jnp.where(take, 11, 0))
+        return st, g_rem, cur_len, consumed, nstored, counts, rec
 
-        def sym_body(t, inner):
-            st, symstore, lenstore, rankstore, counts, nstored = inner
-            W0 = st[0]
-            take = active & (t < cnt)
-            v11 = _bitrev11(_shr_l(W0, 21) & 0x7FF)
-            sym = jnp.where(v11 >= 1024, v11 - 2048, v11)
-            sel = (iota64 == nstored) & take
-            symstore = jnp.where(sel, sym, symstore)
-            lenstore = jnp.where(sel, length, lenstore)
-            lcount = jnp.sum(jnp.where(iota9 == length, counts, 0),
-                             axis=0, keepdims=True)
-            rankstore = jnp.where(sel, lcount, rankstore)
-            counts = counts + jnp.where((iota9 == length) & take, 1, 0)
-            nstored = nstored + take.astype(I32)
-            st = consume(st, jnp.where(take, 11, 0))
-            return st, symstore, lenstore, rankstore, counts, nstored
+    zero1 = jnp.zeros((1, TILE), I32)
+    carry = (st, zero1, zero1, zero1, zero1, jnp.zeros((9, TILE), I32),
+             jnp.zeros((64, TILE), I32))
+    st, g_rem, cur_len, consumed, nstored, counts, rec = jax.lax.fori_loop(
+        0, 64, step, carry)
+    # a valid tree ends exactly at tree_size bytes with no group open
+    # (>64-symbol trees leave g_rem > 0 -> bad; ADVICE round 1)
+    consumed = consumed + ((8 - (consumed & 7)) & 7)
+    bad = (g_rem > 0) | (consumed != tree_bits)
+    rec_ref[...] = rec
+    counts_ref[...] = counts
+    bad_ref[...] = bad.astype(I32)
 
-        st, symstore, lenstore, rankstore, counts, nstored = \
-            jax.lax.fori_loop(0, 32, sym_body,
-                              (st, symstore, lenstore, rankstore, counts,
-                               nstored))
-        pad = (8 - (11 * cnt) % 8) % 8
-        st = consume(st, jnp.where(active, pad, 0))
-        consumed = consumed + jnp.where(active, 1 + (cnt * 11 + 7) // 8, 0)
-        return (st, symstore, lenstore, rankstore, counts, nstored,
-                consumed, bad)
 
-    carry = (st, symstore, lenstore, rankstore, counts, nstored, consumed,
-             bad)
-    carry = jax.lax.fori_loop(0, MAX_GROUPS, group_body, carry)
-    st, symstore, lenstore, rankstore, counts, nstored, consumed, bad = carry
-    bad = bad | (consumed != tree_size).astype(I32)
+def _payload_kernel(words_ref, meta_ref, rec_ref, counts_ref, tbad_ref,
+                    zz_ref, out_ref, ok_ref):
+    """Canonical payload decode: 64 lockstep symbol steps."""
+    R = words_ref[...]
+    enc_bits = meta_ref[0:1, :]
+    tree_size = meta_ref[1:2, :]
+    rec = rec_ref[...]
+    counts = counts_ref[...]
+
+    iota_w = jax.lax.broadcasted_iota(I32, (WORDS, TILE), 0)
+    iota64 = jax.lax.broadcasted_iota(I32, (64, TILE), 0)
+    iota9 = jax.lax.broadcasted_iota(I32, (9, TILE), 0)
+    consume = _make_consume(R, iota_w)
+
+    lenstore = rec >> 17
+    rankstore = (rec >> 11) & 63
+    v11s = rec & 0x7FF
+    symstore = jnp.where(v11s >= 1024, v11s - 2048, v11s)
 
     # canonical first_code per length: first[l+1] = (first[l]+count[l])<<1
     fc_list = [jnp.zeros((1, TILE), I32), jnp.zeros((1, TILE), I32)]
@@ -160,10 +180,22 @@ def _decode_kernel(words_ref, meta_ref, zz_ref, out_ref, ok_ref):
         fc_list.append((fc_list[l] + counts[l:l + 1, :]) << 1)
     first_code = jnp.concatenate(fc_list, axis=0)      # [9, TILE]
 
-    # ---- payload: 64 canonical-decode steps -----------------------------
+    # enter the stream directly at the byte-aligned payload offset; the
+    # window holds the tail of words w0i/w0i+1 (valid = 64 - sh bits, the
+    # consume invariant), so the next refill correctly pulls w0i+2
+    bitoff = (3 + tree_size) * 8
+    w0i = _shr_l(bitoff, 5)
+    sh = bitoff & 31
+    A = jnp.sum(jnp.where(iota_w == w0i, R, 0), axis=0, keepdims=True)
+    B = jnp.sum(jnp.where(iota_w == w0i + 1, R, 0), axis=0, keepdims=True)
+    W0 = _shl(A, sh) | _shr_l(B, 32 - sh)
+    W1 = _shl(B, sh)
+    st = (W0, W1, 64 - sh, w0i + 2)
+
     iota64_1 = jax.lax.broadcasted_iota(I32, (64, 1), 0)
     coeffs = jnp.zeros((64, TILE), I32)
     bitpos = jnp.zeros((1, TILE), I32)
+    bad = tbad_ref[...]
 
     def sym_step(p, carry):
         st, coeffs, bitpos, bad = carry
@@ -231,18 +263,35 @@ def decode_lanes(lanes: jnp.ndarray, interpret: bool = False):
         filler[:, 2] = 3          # tree_size: 1 hdr + 2 bytes of 11-bit sym
         lanes = jnp.concatenate([lanes, jnp.asarray(filler)], axis=0)
     words, meta = _pack_words(lanes)
-    grid = (lanes.shape[0] // TILE,)
+    ntot = lanes.shape[0]
+    grid = (ntot // TILE,)
+    rec, counts, tbad = pl.pallas_call(
+        _tree_kernel,
+        out_shape=(jax.ShapeDtypeStruct((64, ntot), I32),
+                   jax.ShapeDtypeStruct((9, ntot), I32),
+                   jax.ShapeDtypeStruct((1, ntot), I32)),
+        grid=grid,
+        in_specs=[pl.BlockSpec((WORDS, TILE), lambda i: (0, i)),
+                  pl.BlockSpec((2, TILE), lambda i: (0, i))],
+        out_specs=(pl.BlockSpec((64, TILE), lambda i: (0, i)),
+                   pl.BlockSpec((9, TILE), lambda i: (0, i)),
+                   pl.BlockSpec((1, TILE), lambda i: (0, i))),
+        interpret=interpret,
+    )(words, meta)
     zz = jnp.asarray(np.asarray(ZIGZAG, np.int32).reshape(64, 1))
     out, ok = pl.pallas_call(
-        _decode_kernel,
-        out_shape=(jax.ShapeDtypeStruct((64, lanes.shape[0]), jnp.int16),
-                   jax.ShapeDtypeStruct((1, lanes.shape[0]), I32)),
+        _payload_kernel,
+        out_shape=(jax.ShapeDtypeStruct((64, ntot), jnp.int16),
+                   jax.ShapeDtypeStruct((1, ntot), I32)),
         grid=grid,
         in_specs=[pl.BlockSpec((WORDS, TILE), lambda i: (0, i)),
                   pl.BlockSpec((2, TILE), lambda i: (0, i)),
+                  pl.BlockSpec((64, TILE), lambda i: (0, i)),
+                  pl.BlockSpec((9, TILE), lambda i: (0, i)),
+                  pl.BlockSpec((1, TILE), lambda i: (0, i)),
                   pl.BlockSpec((64, 1), lambda i: (0, 0))],
         out_specs=(pl.BlockSpec((64, TILE), lambda i: (0, i)),
                    pl.BlockSpec((1, TILE), lambda i: (0, i))),
         interpret=interpret,
-    )(words, meta, zz)
+    )(words, meta, rec, counts, tbad, zz)
     return out.T[:n], ok[0, :n] != 0

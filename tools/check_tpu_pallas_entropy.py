@@ -97,5 +97,40 @@ def main():
     return 0
 
 
-if __name__ == "__main__":
+
+
+def time_decoder():
+    """Separate entry: time the flat-parse decoder on the 4K golden luma."""
+    import jax
+    print("devices:", jax.devices(), flush=True)
+    big = YUVImage.load(
+        "/root/reference/images/chef-with-trumpet-big-DCT-50.myyuv")
+    stb = DCTStream.parse(big.data)
+    p = stb.planes[0]
+    lanes = p.to_lanes()
+    n = lanes.shape[0]
+    want = entropy.decode_blocks(p.chunk_sizes, p.content)
+    t0 = time.perf_counter()
+    dec, ok = pallas_decode.decode_lanes(jnp.asarray(lanes))
+    sync(np.asarray(ok))
+    print(f"decoder compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
+    assert np.asarray(ok).all()
+    assert np.array_equal(np.asarray(dec), want), "decode mismatch"
+    print("4K golden luma decode: PASS", flush=True)
+    lj = jnp.asarray(lanes)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        dec, ok = pallas_decode.decode_lanes(lj)
+    sync(np.asarray(ok))
+    dt = (time.perf_counter() - t0) / 3
+    print(f"pallas decode: {dt*1e3:.0f} ms/plane "
+          f"({n/dt/1e6:.2f} Mblocks/s)", flush=True)
+
+
+if __name__ == "__main__" and "--decode" in sys.argv:
+    time_decoder()
+    sys.exit(0)
+
+
+if __name__ == "__main__" and "--decode" not in sys.argv:
     sys.exit(main())

@@ -33,6 +33,8 @@ from ..runtime.errors import BitstreamError
 
 # static content capacity per block; q50 averages ~12 B/block, max 255
 CAP_PER_BLOCK = 48
+# word capacity of the aligned device interchange (CAP_PER_BLOCK / 4)
+CAPW_PER_BLOCK = 12
 
 
 def _decode_lanes_dispatch(lanes):
@@ -44,6 +46,39 @@ def _decode_lanes_dispatch(lanes):
     if jax.default_backend() not in ("cpu",):
         from ..entropy import pallas_decode
         return pallas_decode.decode_lanes(lanes)
+    return edev.decode_lanes(lanes)
+
+
+def _encode_words_dispatch(coeffs):
+    """[N, 64] i16 -> (words [64, N] i32 kernel-space, sizes [N], ok [N]).
+
+    Pallas on TPU; on CPU the XLA v1 encoder's lanes are packed to words
+    (elementwise) so tests run everywhere."""
+    import jax
+
+    if jax.default_backend() not in ("cpu",):
+        from ..entropy import pallas_encode
+        return pallas_encode.encode_words(coeffs)
+    from ..entropy import pallas_decode
+    lanes, sizes, ok = edev.encode_lanes(coeffs)
+    words, _ = pallas_decode._pack_words(lanes)
+    return words, sizes, ok
+
+
+def _decode_words_dispatch(words):
+    """[CW, N] i32 kernel-space words -> ([N, 64] i16, [N] ok)."""
+    import jax
+
+    if jax.default_backend() not in ("cpu",):
+        from ..entropy import pallas_decode
+        return pallas_decode.decode_words(words)
+    from ..entropy import pallas_decode
+    cw, n = words.shape
+    if cw < 64:
+        words = jnp.concatenate(
+            [words, jnp.zeros((64 - cw, n), jnp.int32)], axis=0)
+    from ..entropy.pallas_encode import _unpack_words
+    lanes = _unpack_words(words)
     return edev.decode_lanes(lanes)
 
 
@@ -84,10 +119,18 @@ def _frame_qtables(qt_y, qt_u, qt_v, ny: int, nc: int):
 def compress_frame(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                    qt_y: jnp.ndarray, qt_u: jnp.ndarray, qt_v: jnp.ndarray,
                    precision: str = "exact"):
-    """Full-frame on-chip compress.
+    """Full-frame on-chip compress -> (content4, sizes, total, ok).
 
-    Returns (content [Ntot*CAP] u8, sizes [Ntot] i32, total, ok) with
-    blocks ordered Y, U, V.
+    ``content4`` is the word-aligned device interchange: each block's chunk
+    padded to a 4-byte boundary, bytes bit-reversed and packed big-endian
+    into i32 words (the entropy kernels' native stream space). The exact
+    on-disk byte stream is one linear host pass away (native.repack_words).
+    ``total`` is the exact (unaligned) byte total for ratio metrics.
+    Blocks ordered Y, U, V.
+
+    The compaction is a gather (marks + cumsum + word pick), not a scatter:
+    it touches only the ~totalw packed words instead of the 64-words/block
+    dense lane canvas — measured 8x faster than the round-1 byte scatter.
     """
     by = kdev.plane_to_blocks(y)
     bu = kdev.plane_to_blocks(u)
@@ -97,45 +140,52 @@ def compress_frame(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     qtab = _frame_qtables(qt_y, qt_u, qt_v, ny, nc)
     coeffs = kdev.dct_quantize(blocks, qtab, precision=precision)
     n = coeffs.shape[0]
-    lanes, sizes, ok = _encode_lanes_dispatch(coeffs.reshape(n, 64))
-    offs = jnp.cumsum(sizes) - sizes
+    words, sizes, ok = _encode_words_dispatch(coeffs.reshape(n, 64))
+    return _compact_words(words, sizes, jnp.all(ok))
+
+
+def _compact_words(words, sizes, ok):
+    """(words [64, N] i32, sizes [N]) -> (content4 [N*CAPW] i32, sizes,
+    total bytes, ok)."""
+    n = sizes.shape[0]
+    sizes = sizes.astype(jnp.int32)
+    sizes4w = (sizes + 3) >> 2
+    offs4w = jnp.cumsum(sizes4w) - sizes4w
+    totalw = jnp.sum(sizes4w)
     total = jnp.sum(sizes)
-    cap = n * CAP_PER_BLOCK
-    j = jnp.arange(edev.LANE, dtype=jnp.int32)[None, :]
-    valid = j < sizes[:, None]
-    # invalid lane bytes re-target the row's last valid byte with a zero
-    # add: a sink index would break global monotonicity across rows, and
-    # indices_are_sorted is what keeps this scatter's lowering cheap.
-    # (No unique_indices hint: the re-targeted indices deliberately
-    # duplicate the row's last position; add-of-zero keeps it correct
-    # under any scatter ordering.)
-    flat_pos = offs[:, None] + jnp.minimum(j, sizes[:, None] - 1)
-    content = jnp.zeros((cap,), jnp.uint8).at[
-        flat_pos.reshape(-1)].add(
-        jnp.where(valid, lanes, 0).reshape(-1), mode="drop",
-        indices_are_sorted=True)
-    return content, sizes, total, jnp.all(ok) & (total <= cap)
+    capw = n * CAPW_PER_BLOCK
+    mark = jnp.zeros((capw,), jnp.int32).at[offs4w].add(
+        1, mode="drop", indices_are_sorted=True, unique_indices=True)
+    block_of = jnp.cumsum(mark) - 1
+    k = jnp.arange(capw, dtype=jnp.int32)
+    w_of = jnp.clip(k - offs4w[block_of], 0, 63)
+    wt = words.T.reshape(-1)                  # [N*64], block-major
+    content4 = jnp.where(k < totalw,
+                         wt[block_of * 64 + w_of], 0)
+    return content4, sizes, total, ok & (totalw <= capw)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "precision"))
-def decompress_frame(content: jnp.ndarray, sizes: jnp.ndarray,
+@functools.partial(jax.jit, static_argnames=("h", "w", "cw", "precision"))
+def decompress_frame(content4: jnp.ndarray, sizes: jnp.ndarray,
                      qt_y: jnp.ndarray, qt_u: jnp.ndarray,
-                     qt_v: jnp.ndarray, h: int, w: int,
+                     qt_v: jnp.ndarray, h: int, w: int, cw: int = 16,
                      precision: str = "exact"):
     """Full-frame on-chip decompress -> (y, u, v, ok).
 
-    Entropy decode runs in the Pallas register kernel
-    (entropy/pallas_decode.py, ~240 ms/4K frame) on TPU; the XLA v1
-    decoder remains for other backends.
+    ``cw`` is the static per-block word capacity for the decoder's window
+    tensor: 16 (64-byte chunks) covers every stream up to roughly q85; the
+    caller picks 64 for larger chunks. Oversized chunks flip ok False.
     """
     ny = (h // 8) * (w // 8)
     nc = (h // 16) * (w // 16)
     sizes = sizes.astype(jnp.int32)
-    offs = jnp.cumsum(sizes) - sizes
-    j = jnp.arange(edev.LANE, dtype=jnp.int32)[None, :]
-    idx = jnp.clip(offs[:, None] + j, 0, content.shape[0] - 1)
-    lanes = jnp.where(j < sizes[:, None], content[idx], 0)
-    coeffs, ok = _decode_lanes_dispatch(lanes)
+    sizes4w = (sizes + 3) >> 2
+    offs4w = jnp.cumsum(sizes4w) - sizes4w
+    jw = jnp.arange(cw, dtype=jnp.int32)[:, None]
+    idx = jnp.clip(offs4w[None, :] + jw, 0, content4.shape[0] - 1)
+    R = jnp.where(jw < sizes4w[None, :], content4[idx], 0)   # [cw, N]
+    coeffs, ok = _decode_words_dispatch(R)
+    ok = ok & (sizes4w <= cw)
     qtab = _frame_qtables(qt_y, qt_u, qt_v, ny, nc)
     pix = kdev.dequantize_idct(coeffs.reshape(-1, 8, 8), qtab,
                                precision=precision)
@@ -148,45 +198,32 @@ def decompress_frame(content: jnp.ndarray, sizes: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("precision",))
 def compress_plane(plane: jnp.ndarray, qtable: jnp.ndarray,
                    precision: str = "exact"):
-    """[H, W] u8 -> (content [N*CAP] u8, sizes [N] i32, total i32, ok bool).
+    """[H, W] u8 -> (content4 [N*CAPW] i32, sizes [N] i32, total bytes, ok).
 
     The whole forward path on device: blocked DCT + quantization, per-block
-    Huffman encode, then compaction of the 256-byte lanes into a packed
-    content buffer at exclusive-prefix-sum offsets.
+    Huffman encode (Pallas word kernel), then gather-compaction into the
+    word-aligned interchange stream.
     """
     coeffs = kdev.dct_quantize_plane(plane, qtable, precision=precision)
     n = coeffs.shape[0]
-    lanes, sizes, ok = _encode_lanes_dispatch(coeffs.reshape(n, 64))
-    offs = jnp.cumsum(sizes) - sizes                      # exclusive
-    total = jnp.sum(sizes)
-    cap = n * CAP_PER_BLOCK
-    j = jnp.arange(edev.LANE, dtype=jnp.int32)[None, :]
-    valid = j < sizes[:, None]
-    flat_pos = offs[:, None] + jnp.minimum(j, sizes[:, None] - 1)
-    content = jnp.zeros((cap,), jnp.uint8).at[
-        flat_pos.reshape(-1)].add(
-        jnp.where(valid, lanes, 0).reshape(-1), mode="drop",
-        indices_are_sorted=True)
-    all_ok = jnp.all(ok) & (total <= cap)
-    return content, sizes, total, all_ok
+    words, sizes, ok = _encode_words_dispatch(coeffs.reshape(n, 64))
+    return _compact_words(words, sizes, jnp.all(ok))
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "precision"))
-def decompress_plane(content: jnp.ndarray, sizes: jnp.ndarray,
-                     qtable: jnp.ndarray, h: int, w: int,
+@functools.partial(jax.jit, static_argnames=("h", "w", "cw", "precision"))
+def decompress_plane(content4: jnp.ndarray, sizes: jnp.ndarray,
+                     qtable: jnp.ndarray, h: int, w: int, cw: int = 16,
                      precision: str = "exact"):
-    """(content, sizes [N]) -> ([H, W] u8 plane, ok bool).
-
-    Lane expansion (prefix-sum gather) + decode + inverse transform, all on
-    device.
-    """
+    """(content4 words, sizes [N]) -> ([H, W] u8 plane, ok bool)."""
     n = sizes.shape[0]
     sizes = sizes.astype(jnp.int32)
-    offs = jnp.cumsum(sizes) - sizes
-    j = jnp.arange(edev.LANE, dtype=jnp.int32)[None, :]
-    idx = jnp.clip(offs[:, None] + j, 0, content.shape[0] - 1)
-    lanes = jnp.where(j < sizes[:, None], content[idx], 0)
-    coeffs, ok = edev.decode_lanes(lanes)
+    sizes4w = (sizes + 3) >> 2
+    offs4w = jnp.cumsum(sizes4w) - sizes4w
+    jw = jnp.arange(cw, dtype=jnp.int32)[:, None]
+    idx = jnp.clip(offs4w[None, :] + jw, 0, content4.shape[0] - 1)
+    R = jnp.where(jw < sizes4w[None, :], content4[idx], 0)
+    coeffs, ok = _decode_words_dispatch(R)
+    ok = ok & (sizes4w <= cw)
     plane = kdev.dequantize_idct_plane(
         coeffs.reshape(n, 8, 8), qtable, h, w, precision=precision)
     return plane, jnp.all(ok)
@@ -223,51 +260,67 @@ def roundtrip_planes(planes, qtables, precision: str = "exact"):
 _PULL_QUANTUM = 1 << 20  # 1 MiB
 
 
-def pull_content(content_dev: jnp.ndarray, total: int) -> np.ndarray:
-    """Transfer exactly ceil(total/1MiB) of the device content buffer."""
-    n = int(total)
-    padded = min(content_dev.shape[0],
-                 (n + _PULL_QUANTUM - 1) // _PULL_QUANTUM * _PULL_QUANTUM)
-    return np.asarray(content_dev[:padded])[:n]
+def pull_words(content4_dev: jnp.ndarray, totalw: int) -> np.ndarray:
+    """Transfer ceil(totalw words/1MiB)-rounded prefix of the interchange
+    buffer; returns exactly totalw i32 words."""
+    nw = int(totalw)
+    q = _PULL_QUANTUM // 4
+    padded = min(content4_dev.shape[0], (nw + q - 1) // q * q)
+    return np.asarray(content4_dev[:padded])[:nw]
+
+
+def _split_planes(sizes_np, packed, ny, nc):
+    out = []
+    pos = 0
+    for lo, hi in ((0, ny), (ny, ny + nc), (ny + nc, ny + 2 * nc)):
+        s = sizes_np[lo:hi]
+        t = int(s.astype(np.int64).sum())
+        out.append((s.astype(np.uint8), packed[pos: pos + t]))
+        pos += t
+    return out
 
 
 def compress_frame_to_streams(planes_np, qtables_np,
                               precision: str = "exact"):
-    """Host API: (y, u, v) planes -> [(sizes u8, content u8)] per plane."""
+    """Host API: (y, u, v) planes -> [(sizes u8, content u8)] per plane.
+
+    Pulls the word-aligned interchange stream (~8% larger than the packed
+    bytes) and repacks to the exact on-disk layout in one native pass.
+    """
+    from .. import native
     h, w = planes_np[0].shape
     ny = (h // 8) * (w // 8)
     nc = (h // 16) * (w // 16)
-    content, sizes, total, ok = compress_frame(
+    content4, sizes, total, ok = compress_frame(
         jnp.asarray(planes_np[0]), jnp.asarray(planes_np[1]),
         jnp.asarray(planes_np[2]), *[jnp.asarray(q) for q in qtables_np],
         precision=precision)
     if not bool(ok):
         raise BitstreamError("device compress overflow/failure")
-    sizes_np = np.asarray(sizes)
-    content_np = pull_content(content, int(total))
-    out = []
-    pos = 0
-    for lo, hi in ((0, ny), (ny, ny + nc), (ny + nc, ny + 2 * nc)):
-        s = sizes_np[lo:hi]
-        t = int(s.sum())
-        out.append((s.astype(np.uint8), content_np[pos: pos + t]))
-        pos += t
-    return out
+    sizes_np = np.asarray(sizes).astype(np.int32)
+    totalw = int(((sizes_np + 3) >> 2).astype(np.int64).sum())
+    words_np = pull_words(content4, totalw)
+    packed = native.repack_words(words_np, sizes_np)
+    return _split_planes(sizes_np, packed, ny, nc)
 
 
 def decompress_streams_to_frame(streams, qtables_np, h: int, w: int,
                                 precision: str = "exact"):
     """Host API: per-plane (sizes, content) -> (y, u, v) uint8 planes."""
+    from .. import native
     sizes_np = np.concatenate([s.astype(np.int32) for s, _ in streams])
     content_np = np.concatenate([c for _, c in streams])
-    cap = sizes_np.shape[0] * CAP_PER_BLOCK
-    if content_np.size > cap:
+    n = sizes_np.shape[0]
+    capw = n * CAPW_PER_BLOCK
+    words_np = native.expand_words(content_np, sizes_np)
+    if words_np.size > capw:
         raise BitstreamError("stream larger than device capacity")
-    padded = np.zeros((cap,), np.uint8)
-    padded[:content_np.size] = content_np
+    padded = np.zeros((capw,), np.int32)
+    padded[:words_np.size] = words_np
+    cw = 16 if int(sizes_np.max(initial=0)) <= 64 else 64
     y, u, v, ok = decompress_frame(
         jnp.asarray(padded), jnp.asarray(sizes_np),
-        *[jnp.asarray(q) for q in qtables_np], h=h, w=w,
+        *[jnp.asarray(q) for q in qtables_np], h=h, w=w, cw=cw,
         precision=precision)
     if not bool(ok):
         raise BitstreamError("Huffman bad code (device decode)")
@@ -281,27 +334,34 @@ def compress_plane_to_stream(plane_np: np.ndarray, qtable_np: np.ndarray,
     Raises BitstreamError on capacity overflow (caller falls back to the
     native host encoder).
     """
-    content, sizes, total, ok = compress_plane(
+    from .. import native
+    content4, sizes, total, ok = compress_plane(
         jnp.asarray(plane_np), jnp.asarray(qtable_np), precision=precision)
     if not bool(ok):
         raise BitstreamError("device compress overflow/failure")
-    sizes_np = np.asarray(sizes).astype(np.uint8)
-    return sizes_np, pull_content(content, int(total))
+    sizes_np = np.asarray(sizes).astype(np.int32)
+    totalw = int(((sizes_np + 3) >> 2).astype(np.int64).sum())
+    words_np = pull_words(content4, totalw)
+    return sizes_np.astype(np.uint8), native.repack_words(words_np, sizes_np)
 
 
 def decompress_stream_to_plane(sizes_np: np.ndarray, content_np: np.ndarray,
                                qtable_np: np.ndarray, h: int, w: int,
                                precision: str = "exact") -> np.ndarray:
     """Host API: ragged stream -> [H, W] u8 plane (pulled to host)."""
+    from .. import native
     n = sizes_np.shape[0]
-    cap = n * CAP_PER_BLOCK
-    if content_np.size > cap:
+    capw = n * CAPW_PER_BLOCK
+    sizes_i32 = sizes_np.astype(np.int32)
+    words_np = native.expand_words(content_np, sizes_i32)
+    if words_np.size > capw:
         raise BitstreamError("stream larger than device capacity")
-    padded = np.zeros((cap,), np.uint8)
-    padded[:content_np.size] = content_np
+    padded = np.zeros((capw,), np.int32)
+    padded[:words_np.size] = words_np
+    cw = 16 if int(sizes_i32.max(initial=0)) <= 64 else 64
     plane, ok = decompress_plane(
-        jnp.asarray(padded), jnp.asarray(sizes_np.astype(np.int32)),
-        jnp.asarray(qtable_np), h, w, precision=precision)
+        jnp.asarray(padded), jnp.asarray(sizes_i32),
+        jnp.asarray(qtable_np), h, w, cw=cw, precision=precision)
     if not bool(ok):
         raise BitstreamError("Huffman bad code (device decode)")
     return np.asarray(plane)

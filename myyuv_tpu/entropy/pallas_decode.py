@@ -102,7 +102,8 @@ def _tree_kernel(words_ref, meta_ref, rec_ref, counts_ref, bad_ref):
     tree_size = meta_ref[1:2, :]
     tree_bits = tree_size * 8
 
-    iota_w = jax.lax.broadcasted_iota(I32, (WORDS, TILE), 0)
+    cw = words_ref.shape[0]
+    iota_w = jax.lax.broadcasted_iota(I32, (cw, TILE), 0)
     iota64 = jax.lax.broadcasted_iota(I32, (64, TILE), 0)
     iota9 = jax.lax.broadcasted_iota(I32, (9, TILE), 0)
     consume = _make_consume(R, iota_w)
@@ -164,7 +165,8 @@ def _payload_kernel(words_ref, meta_ref, rec_ref, counts_ref, tbad_ref,
     rec = rec_ref[...]
     counts = counts_ref[...]
 
-    iota_w = jax.lax.broadcasted_iota(I32, (WORDS, TILE), 0)
+    cw = words_ref.shape[0]
+    iota_w = jax.lax.broadcasted_iota(I32, (cw, TILE), 0)
     iota64 = jax.lax.broadcasted_iota(I32, (64, TILE), 0)
     iota9 = jax.lax.broadcasted_iota(I32, (9, TILE), 0)
     consume = _make_consume(R, iota_w)
@@ -285,6 +287,64 @@ def decode_lanes(lanes: jnp.ndarray, interpret: bool = False):
                    jax.ShapeDtypeStruct((1, ntot), I32)),
         grid=grid,
         in_specs=[pl.BlockSpec((WORDS, TILE), lambda i: (0, i)),
+                  pl.BlockSpec((2, TILE), lambda i: (0, i)),
+                  pl.BlockSpec((64, TILE), lambda i: (0, i)),
+                  pl.BlockSpec((9, TILE), lambda i: (0, i)),
+                  pl.BlockSpec((1, TILE), lambda i: (0, i)),
+                  pl.BlockSpec((64, 1), lambda i: (0, 0))],
+        out_specs=(pl.BlockSpec((64, TILE), lambda i: (0, i)),
+                   pl.BlockSpec((1, TILE), lambda i: (0, i))),
+        interpret=interpret,
+    )(words, meta, rec, counts, tbad, zz)
+    return out.T[:n], ok[0, :n] != 0
+
+
+# word-space filler column for padding N to a TILE multiple: the minimal
+# valid chunk (all-zero block: enc_bits=1, tree = one group, single symbol
+# 0 of code length 1, payload bit 0) packed into kernel stream space
+_FILLER_W0 = np.int32(np.uint32((0x80 << 24) | (0xC0 << 8)).view(np.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_words(words: jnp.ndarray, interpret: bool = False):
+    """[CW, N] i32 packed kernel-space words -> ([N, 64] i16, [N] ok).
+
+    CW is the static per-block word capacity (16 covers chunks up to 64
+    bytes — every q<=~85 stream; 64 covers the format max of 255 bytes).
+    The caller guarantees each chunk fits CW*4 bytes."""
+    cw, n = words.shape
+    pad = (-n) % TILE
+    if pad:
+        fill = jnp.zeros((cw, pad), I32).at[0, :].set(_FILLER_W0)
+        words = jnp.concatenate([words, fill], axis=1)
+    ntot = words.shape[1]
+    # meta from the first word (header bytes live bit-reversed in it)
+    w0 = words[0]
+    b0 = _bitrev8(_shr_l(w0, 24) & 0xFF)
+    b1 = _bitrev8(_shr_l(w0, 16) & 0xFF)
+    b2 = _bitrev8(_shr_l(w0, 8) & 0xFF)
+    meta = jnp.stack([b0 | (b1 << 8), b2], axis=0)
+    grid = (ntot // TILE,)
+    rec, counts, tbad = pl.pallas_call(
+        _tree_kernel,
+        out_shape=(jax.ShapeDtypeStruct((64, ntot), I32),
+                   jax.ShapeDtypeStruct((9, ntot), I32),
+                   jax.ShapeDtypeStruct((1, ntot), I32)),
+        grid=grid,
+        in_specs=[pl.BlockSpec((cw, TILE), lambda i: (0, i)),
+                  pl.BlockSpec((2, TILE), lambda i: (0, i))],
+        out_specs=(pl.BlockSpec((64, TILE), lambda i: (0, i)),
+                   pl.BlockSpec((9, TILE), lambda i: (0, i)),
+                   pl.BlockSpec((1, TILE), lambda i: (0, i))),
+        interpret=interpret,
+    )(words, meta)
+    zz = jnp.asarray(np.asarray(ZIGZAG, np.int32).reshape(64, 1))
+    out, ok = pl.pallas_call(
+        _payload_kernel,
+        out_shape=(jax.ShapeDtypeStruct((64, ntot), jnp.int16),
+                   jax.ShapeDtypeStruct((1, ntot), I32)),
+        grid=grid,
+        in_specs=[pl.BlockSpec((cw, TILE), lambda i: (0, i)),
                   pl.BlockSpec((2, TILE), lambda i: (0, i)),
                   pl.BlockSpec((64, TILE), lambda i: (0, i)),
                   pl.BlockSpec((9, TILE), lambda i: (0, i)),

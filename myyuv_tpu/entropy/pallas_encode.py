@@ -337,11 +337,15 @@ def _unpack_words(words: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def encode_lanes(coeffs: jnp.ndarray, interpret: bool = False):
-    """[N, 64] int16 coefficients -> ([N, 256] u8 lanes, [N] sizes, [N] ok).
+def encode_words(coeffs: jnp.ndarray, interpret: bool = False):
+    """[N, 64] int16 coefficients -> ([64, N] i32 packed words, [N] sizes,
+    [N] ok).
 
-    Drop-in replacement for entropy.device.encode_lanes with byte-identical
-    output (reference semantics: Huffman.cpp:172-241,279-326)."""
+    Words are in the kernel stream space (bit-reversed bytes packed
+    big-endian) — exactly what the Pallas decoder consumes and what the
+    word-aligned device interchange stores; the byte-exact on-disk stream
+    is one cheap elementwise conversion away (native repack or
+    _unpack_words)."""
     n = coeffs.shape[0]
     zz = jnp.asarray(np.asarray(ZIGZAG, np.int32))
     msg = coeffs.astype(I32)[:, zz]                   # [N, 64] zigzag order
@@ -362,5 +366,14 @@ def encode_lanes(coeffs: jnp.ndarray, interpret: bool = False):
                    pl.BlockSpec((1, TILE), lambda i: (0, i))),
         interpret=interpret,
     )(msgT)
-    lanes = _unpack_words(words)[:n]
-    return lanes, size[0, :n], ok[0, :n] != 0
+    return words[:, :n], size[0, :n], ok[0, :n] != 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def encode_lanes(coeffs: jnp.ndarray, interpret: bool = False):
+    """[N, 64] int16 coefficients -> ([N, 256] u8 lanes, [N] sizes, [N] ok).
+
+    Drop-in replacement for entropy.device.encode_lanes with byte-identical
+    output (reference semantics: Huffman.cpp:172-241,279-326)."""
+    words, size, ok = encode_words(coeffs, interpret=interpret)
+    return _unpack_words(words), size, ok

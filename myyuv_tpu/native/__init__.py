@@ -71,6 +71,12 @@ def load() -> Optional[ctypes.CDLL]:
     lib.myyuv_decode_blocks.restype = ctypes.c_int64
     lib.myyuv_decode_blocks.argtypes = [
         u8p, u8p, ctypes.c_int64, ctypes.c_int64, i16p, ctypes.c_int32]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.myyuv_repack_words.restype = ctypes.c_int64
+    lib.myyuv_repack_words.argtypes = [u32p, i32p, ctypes.c_int64, u8p]
+    lib.myyuv_expand_words.restype = ctypes.c_int64
+    lib.myyuv_expand_words.argtypes = [u8p, i32p, ctypes.c_int64, u32p]
     f32p = ctypes.POINTER(ctypes.c_float)
     lib.myyuv_compress_plane.restype = ctypes.c_int64
     lib.myyuv_compress_plane.argtypes = [
@@ -188,3 +194,67 @@ def decompress_plane(sizes: np.ndarray, content: np.ndarray,
             f"native decompress failed at block {err // 16 - 1}"
             f" (code {err % 16})")
     return plane
+
+
+# ---------------------------------------------------------------------------
+# Word-aligned device interchange <-> exact byte stream (with numpy
+# fallbacks so the conversion works without a compiler)
+# ---------------------------------------------------------------------------
+
+_BITREV8 = np.array([int(f"{i:08b}"[::-1], 2) for i in range(256)], np.uint8)
+
+
+def repack_words(words: np.ndarray, sizes: np.ndarray) -> np.ndarray:
+    """Aligned kernel-space word stream -> exact packed byte stream.
+
+    ``words``: i32/u32 [total_words] (sum of ceil(sizes/4) per block, each
+    chunk 4-byte aligned, bytes bit-reversed big-endian in each word);
+    ``sizes``: per-block chunk bytes. Returns u8 [sum(sizes)]."""
+    sizes = np.ascontiguousarray(sizes, np.int32)
+    words = np.ascontiguousarray(words).view(np.uint32).reshape(-1)
+    total = int(sizes.astype(np.int64).sum())
+    lib = load()
+    if lib is not None:
+        out = np.empty(total, np.uint8)
+        lib.myyuv_repack_words(
+            words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            sizes.size, _u8p(out))
+        return out
+    # numpy fallback: word stream -> per-word bytes, gather the live ones
+    w4 = (sizes.astype(np.int64) + 3) >> 2
+    woffs = np.cumsum(w4) - w4
+    by = np.empty((words.size, 4), np.uint8)
+    for j in range(4):
+        by[:, j] = _BITREV8[(words >> (24 - 8 * j)) & 0xFF]
+    flat = by.reshape(-1)
+    # source byte index for each output byte
+    boffs = np.cumsum(sizes.astype(np.int64)) - sizes
+    block_of = np.repeat(np.arange(sizes.size), sizes)
+    j_in = np.arange(total) - boffs[block_of]
+    return flat[woffs[block_of] * 4 + j_in]
+
+
+def expand_words(content: np.ndarray, sizes: np.ndarray) -> np.ndarray:
+    """Exact packed byte stream -> aligned kernel-space word stream (i32)."""
+    sizes = np.ascontiguousarray(sizes, np.int32)
+    content = np.ascontiguousarray(content, np.uint8)
+    w4 = (sizes.astype(np.int64) + 3) >> 2
+    totalw = int(w4.sum())
+    lib = load()
+    if lib is not None:
+        out = np.empty(totalw, np.uint32)
+        lib.myyuv_expand_words(
+            _u8p(content), sizes.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int32)),
+            sizes.size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+        return out.view(np.int32)
+    woffs = np.cumsum(w4) - w4
+    boffs = np.cumsum(sizes.astype(np.int64)) - sizes
+    block_of = np.repeat(np.arange(sizes.size), sizes)
+    j_in = np.arange(content.size) - boffs[block_of]
+    flat = np.zeros(totalw * 4, np.uint8)
+    flat[woffs[block_of] * 4 + j_in] = _BITREV8[content]
+    by = flat.reshape(-1, 4).astype(np.uint32)
+    return ((by[:, 0] << 24) | (by[:, 1] << 16) | (by[:, 2] << 8)
+            | by[:, 3]).view(np.int32)

@@ -20,6 +20,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <thread>
 #include <vector>
@@ -530,6 +531,76 @@ int64_t myyuv_decompress_plane(const uint8_t* sizes, const uint8_t* content,
     }
   });
   return failed.load();
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Word-aligned device interchange <-> exact byte stream conversion.
+//
+// The TPU entropy kernels produce/consume per-block chunks packed into
+// big-endian u32 words of BIT-REVERSED bytes, with each chunk padded to a
+// 4-byte boundary (the "aligned word stream"). These converters translate
+// between that interchange and the reference's exact packed byte stream
+// (DCTYUVPlane content, DCT.cpp:16-110) in one linear pass.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline uint8_t bitrev8_tbl(uint8_t v) {
+  static const auto tbl = [] {
+    std::array<uint8_t, 256> t{};
+    for (int i = 0; i < 256; ++i) {
+      uint8_t x = uint8_t(i);
+      x = uint8_t(((x & 0xF0) >> 4) | ((x & 0x0F) << 4));
+      x = uint8_t(((x & 0xCC) >> 2) | ((x & 0x33) << 2));
+      x = uint8_t(((x & 0xAA) >> 1) | ((x & 0x55) << 1));
+      t[size_t(i)] = x;
+    }
+    return t;
+  }();
+  return tbl[v];
+}
+
+}  // namespace
+
+extern "C" {
+
+// words: aligned word stream (sum of ceil(sizes/4) u32s); out must hold
+// sum(sizes) bytes. Returns bytes written.
+int64_t myyuv_repack_words(const uint32_t* words, const int32_t* sizes,
+                           int64_t n_blocks, uint8_t* out) {
+  int64_t w = 0, o = 0;
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    const int s = sizes[b];
+    const uint32_t* src = words + w;
+    for (int j = 0; j < s; ++j) {
+      const uint8_t byte = uint8_t(src[j >> 2] >> (24 - 8 * (j & 3)));
+      out[o++] = bitrev8_tbl(byte);
+    }
+    w += (s + 3) >> 2;
+  }
+  return o;
+}
+
+// Inverse: exact packed byte stream -> aligned word stream. words_out must
+// hold sum(ceil(sizes/4)) u32s (zero-padding within each block's last
+// word). Returns words written.
+int64_t myyuv_expand_words(const uint8_t* content, const int32_t* sizes,
+                           int64_t n_blocks, uint32_t* words_out) {
+  int64_t w = 0, o = 0;
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    const int s = sizes[b];
+    const int nw = (s + 3) >> 2;
+    for (int k = 0; k < nw; ++k) words_out[w + k] = 0;
+    for (int j = 0; j < s; ++j) {
+      words_out[w + (j >> 2)] |=
+          uint32_t(bitrev8_tbl(content[o + j])) << (24 - 8 * (j & 3));
+    }
+    o += s;
+    w += nw;
+  }
+  return w;
 }
 
 }  // extern "C"

@@ -107,7 +107,7 @@ def _export_rgb(img_path: Path, kind: str, out: Optional[Path]) -> None:
     from .viewer import export
     with _Timer("rgb export"):
         if kind == "bmp":
-            bgrx = BMPImage.load(img_path).pixels_topdown()
+            bgrx = export.ensure_bgrx(BMPImage.load(img_path).pixels_topdown())
         else:
             from .engine import pipeline
             bgrx = pipeline.iyuv_to_bgrx(YUVImage.load(img_path))
@@ -119,7 +119,7 @@ def _export_rgb(img_path: Path, kind: str, out: Optional[Path]) -> None:
 def _preview(img_path: Path, kind: str, out: Optional[Path]) -> None:
     from .viewer import export, terminal
     if kind == "bmp":
-        bgrx = BMPImage.load(img_path).pixels_topdown()
+        bgrx = export.ensure_bgrx(BMPImage.load(img_path).pixels_topdown())
     else:
         from .engine import pipeline
         bgrx = pipeline.iyuv_to_bgrx(YUVImage.load(img_path))
@@ -190,8 +190,10 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         if args.cube:
             from .viewer import cube
+            from .viewer import export as vexport
             if kind == "bmp":
-                tex = BMPImage.load(args.image).pixels_topdown()
+                tex = vexport.ensure_bgrx(
+                    BMPImage.load(args.image).pixels_topdown())
             else:
                 from .engine import pipeline
                 tex = pipeline.iyuv_to_bgrx(YUVImage.load(args.image))

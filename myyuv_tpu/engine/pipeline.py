@@ -89,8 +89,13 @@ def compress_dct(img: yuv.YUVImage, params: bytes,
             sizes, content = entropy.encode_blocks(coeffs,
                                                    backend=entropy_backend)
             streams.append(dct_stream.DCTPlaneStream(sizes, content))
-    payload = dct_stream.DCTStream(streams).serialize()
+    return _streams_to_image(img, params, streams)
 
+
+def _streams_to_image(img: yuv.YUVImage, params: bytes,
+                      streams: List[dct_stream.DCTPlaneStream]
+                      ) -> yuv.YUVImage:
+    payload = dct_stream.DCTStream(streams).serialize()
     header = yuv.YUVHeader(
         fourcc_format=img.header.fourcc_format,
         data_size=payload.size,
@@ -101,6 +106,18 @@ def compress_dct(img: yuv.YUVImage, params: bytes,
         data_pos=yuv.HEADER_SIZE + 3)
     return yuv.YUVImage(header, np.frombuffer(params, np.uint8).copy(),
                         payload)
+
+
+def streams_to_compressed(img: yuv.YUVImage, params: bytes,
+                          plane_streams) -> yuv.YUVImage:
+    """Assemble a compressed YUVImage from per-plane (sizes, content)
+    pairs — the single-file assembly step for sharded/multi-host
+    compression (engine.sharded_stream, parallel.distributed)."""
+    host_codec._check_quality(params)
+    streams = [dct_stream.DCTPlaneStream(
+        np.asarray(s, np.uint8), np.asarray(c, np.uint8))
+        for s, c in plane_streams]
+    return _streams_to_image(img, params, streams)
 
 
 def decompress_dct(img: yuv.YUVImage,

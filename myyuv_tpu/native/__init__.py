@@ -74,9 +74,11 @@ def load() -> Optional[ctypes.CDLL]:
     i32p = ctypes.POINTER(ctypes.c_int32)
     u32p = ctypes.POINTER(ctypes.c_uint32)
     lib.myyuv_repack_words.restype = ctypes.c_int64
-    lib.myyuv_repack_words.argtypes = [u32p, i32p, ctypes.c_int64, u8p]
+    lib.myyuv_repack_words.argtypes = [u32p, i32p, ctypes.c_int64,
+                                       ctypes.c_int32, u8p]
     lib.myyuv_expand_words.restype = ctypes.c_int64
-    lib.myyuv_expand_words.argtypes = [u8p, i32p, ctypes.c_int64, u32p]
+    lib.myyuv_expand_words.argtypes = [u8p, i32p, ctypes.c_int64,
+                                       ctypes.c_int32, u32p]
     f32p = ctypes.POINTER(ctypes.c_float)
     lib.myyuv_compress_plane.restype = ctypes.c_int64
     lib.myyuv_compress_plane.argtypes = [
@@ -204,12 +206,19 @@ def decompress_plane(sizes: np.ndarray, content: np.ndarray,
 _BITREV8 = np.array([int(f"{i:08b}"[::-1], 2) for i in range(256)], np.uint8)
 
 
-def repack_words(words: np.ndarray, sizes: np.ndarray) -> np.ndarray:
+def _chunk_words(sizes: np.ndarray, align: int) -> np.ndarray:
+    """Words each chunk occupies: ceil(size / (4*align)) groups of align."""
+    cb = 4 * align
+    return ((sizes.astype(np.int64) + cb - 1) // cb) * align
+
+
+def repack_words(words: np.ndarray, sizes: np.ndarray,
+                 align: int = 1) -> np.ndarray:
     """Aligned kernel-space word stream -> exact packed byte stream.
 
-    ``words``: i32/u32 [total_words] (sum of ceil(sizes/4) per block, each
-    chunk 4-byte aligned, bytes bit-reversed big-endian in each word);
-    ``sizes``: per-block chunk bytes. Returns u8 [sum(sizes)]."""
+    ``words``: i32/u32 [total_words] (each chunk padded to ``align`` words,
+    bytes bit-reversed big-endian in each word); ``sizes``: per-block chunk
+    bytes. Returns u8 [sum(sizes)]."""
     sizes = np.ascontiguousarray(sizes, np.int32)
     words = np.ascontiguousarray(words).view(np.uint32).reshape(-1)
     total = int(sizes.astype(np.int64).sum())
@@ -219,10 +228,10 @@ def repack_words(words: np.ndarray, sizes: np.ndarray) -> np.ndarray:
         lib.myyuv_repack_words(
             words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
             sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            sizes.size, _u8p(out))
+            sizes.size, align, _u8p(out))
         return out
     # numpy fallback: word stream -> per-word bytes, gather the live ones
-    w4 = (sizes.astype(np.int64) + 3) >> 2
+    w4 = _chunk_words(sizes, align)
     woffs = np.cumsum(w4) - w4
     by = np.empty((words.size, 4), np.uint8)
     for j in range(4):
@@ -235,11 +244,12 @@ def repack_words(words: np.ndarray, sizes: np.ndarray) -> np.ndarray:
     return flat[woffs[block_of] * 4 + j_in]
 
 
-def expand_words(content: np.ndarray, sizes: np.ndarray) -> np.ndarray:
+def expand_words(content: np.ndarray, sizes: np.ndarray,
+                 align: int = 1) -> np.ndarray:
     """Exact packed byte stream -> aligned kernel-space word stream (i32)."""
     sizes = np.ascontiguousarray(sizes, np.int32)
     content = np.ascontiguousarray(content, np.uint8)
-    w4 = (sizes.astype(np.int64) + 3) >> 2
+    w4 = _chunk_words(sizes, align)
     totalw = int(w4.sum())
     lib = load()
     if lib is not None:
@@ -247,7 +257,8 @@ def expand_words(content: np.ndarray, sizes: np.ndarray) -> np.ndarray:
         lib.myyuv_expand_words(
             _u8p(content), sizes.ctypes.data_as(
                 ctypes.POINTER(ctypes.c_int32)),
-            sizes.size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+            sizes.size, align,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
         return out.view(np.int32)
     woffs = np.cumsum(w4) - w4
     boffs = np.cumsum(sizes.astype(np.int64)) - sizes

@@ -566,11 +566,15 @@ inline uint8_t bitrev8_tbl(uint8_t v) {
 
 extern "C" {
 
-// words: aligned word stream (sum of ceil(sizes/4) u32s); out must hold
-// sum(sizes) bytes. Returns bytes written.
+// words: aligned word stream — each chunk occupies ceil(size/(4*align))
+// groups of `align` u32s (align=1 is plain 4-byte alignment; the device
+// interchange uses align=4 = 16-byte rows so stream (de)compaction on chip
+// runs as vectorized row gathers). out must hold sum(sizes) bytes.
+// Returns bytes written.
 int64_t myyuv_repack_words(const uint32_t* words, const int32_t* sizes,
-                           int64_t n_blocks, uint8_t* out) {
+                           int64_t n_blocks, int32_t align, uint8_t* out) {
   int64_t w = 0, o = 0;
+  const int chunk_bytes = 4 * align;
   for (int64_t b = 0; b < n_blocks; ++b) {
     const int s = sizes[b];
     const uint32_t* src = words + w;
@@ -578,21 +582,23 @@ int64_t myyuv_repack_words(const uint32_t* words, const int32_t* sizes,
       const uint8_t byte = uint8_t(src[j >> 2] >> (24 - 8 * (j & 3)));
       out[o++] = bitrev8_tbl(byte);
     }
-    w += (s + 3) >> 2;
+    w += int64_t((s + chunk_bytes - 1) / chunk_bytes) * align;
   }
   return o;
 }
 
 // Inverse: exact packed byte stream -> aligned word stream. words_out must
-// hold sum(ceil(sizes/4)) u32s (zero-padding within each block's last
-// word). Returns words written.
+// hold sum(align * ceil(sizes/(4*align))) u32s (zero-padding within each
+// block's tail). Returns words written.
 int64_t myyuv_expand_words(const uint8_t* content, const int32_t* sizes,
-                           int64_t n_blocks, uint32_t* words_out) {
+                           int64_t n_blocks, int32_t align,
+                           uint32_t* words_out) {
   int64_t w = 0, o = 0;
+  const int chunk_bytes = 4 * align;
   for (int64_t b = 0; b < n_blocks; ++b) {
     const int s = sizes[b];
-    const int nw = (s + 3) >> 2;
-    for (int k = 0; k < nw; ++k) words_out[w + k] = 0;
+    const int64_t nw = int64_t((s + chunk_bytes - 1) / chunk_bytes) * align;
+    for (int64_t k = 0; k < nw; ++k) words_out[w + k] = 0;
     for (int j = 0; j < s; ++j) {
       words_out[w + (j >> 2)] |=
           uint32_t(bitrev8_tbl(content[o + j])) << (24 - 8 * (j & 3));

@@ -23,6 +23,9 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from . import mesh as meshlib
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -66,3 +69,53 @@ def global_offsets(all_sizes: Sequence[np.ndarray]) -> np.ndarray:
     totals = np.array([int(s.astype(np.int64).sum()) for s in all_sizes],
                       np.int64)
     return np.concatenate([[0], np.cumsum(totals)[:-1]])
+
+
+def shard_batch(batch_np: np.ndarray, mesh,
+                spec: Optional[P] = None) -> jax.Array:
+    """Place a host batch onto the mesh, frames over the ``data`` axis.
+
+    Single-process (incl. the virtual CPU mesh): a sharded ``device_put``.
+    Multi-process: each host contributes its process-local shard and the
+    result is a global jax.Array spanning every host's devices.
+    """
+    spec = spec if spec is not None else P(meshlib.DATA_AXIS)
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(batch_np, sharding)
+    from jax.experimental import multihost_utils
+    return multihost_utils.host_local_array_to_global_array(
+        batch_np, mesh, spec)
+
+
+def gather_streams(local_sizes: np.ndarray, local_content: np.ndarray
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Merge per-host compressed streams into the global (sizes, content).
+
+    The cross-host generalization of ``DCTYUVPlane::getContentPos``
+    (DCT.cpp:21-33): chunk-size tables and content segments are
+    all-gathered (padded to the max host length — process_allgather needs
+    uniform shapes), and each host's segment lands at the exclusive
+    prefix sum of the preceding hosts' byte totals, so EVERY host can
+    assemble the same valid single-file payload. Single-process: identity.
+    """
+    local_sizes = np.ascontiguousarray(local_sizes)
+    local_content = np.ascontiguousarray(local_content, np.uint8)
+    if jax.process_count() == 1:
+        return local_sizes, local_content
+    from jax.experimental import multihost_utils as mh
+    lens = mh.process_allgather(
+        np.array([local_sizes.size, local_content.size], np.int64))
+    lens = lens.reshape(-1, 2)
+    max_n, max_c = int(lens[:, 0].max()), int(lens[:, 1].max())
+    pad_s = np.zeros(max_n, local_sizes.dtype)
+    pad_s[: local_sizes.size] = local_sizes
+    pad_c = np.zeros(max_c, np.uint8)
+    pad_c[: local_content.size] = local_content
+    all_s = mh.process_allgather(pad_s).reshape(-1, max_n)
+    all_c = mh.process_allgather(pad_c).reshape(-1, max_c)
+    sizes = np.concatenate(
+        [all_s[p, : int(lens[p, 0])] for p in range(lens.shape[0])])
+    content = np.concatenate(
+        [all_c[p, : int(lens[p, 1])] for p in range(lens.shape[0])])
+    return sizes, content

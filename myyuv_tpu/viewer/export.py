@@ -17,6 +17,24 @@ from typing import Union
 import numpy as np
 
 
+def ensure_bgrx(pixels: np.ndarray) -> np.ndarray:
+    """Accept [H, W, 3] BGR24 or [H, W, 4] BGRX pixels; return BGRX.
+
+    The reference SDL3 viewer displays 24-bit BMPs directly
+    (myyuv_sdl3/main.cpp:20-38 maps bit_count 24 to SDL_PIXELFORMAT_BGR24);
+    the export/preview equivalents here widen BGR24 to BGRX with a zero X
+    byte so every downstream consumer sees one layout.
+    """
+    if pixels.ndim != 3 or pixels.shape[2] not in (3, 4):
+        raise ValueError("expected [H, W, 3|4] pixel array")
+    if pixels.shape[2] == 4:
+        return pixels
+    h, w = pixels.shape[:2]
+    out = np.zeros((h, w, 4), np.uint8)
+    out[:, :, :3] = pixels
+    return out
+
+
 def write_bgrx_bmp(path: Union[str, Path], bgrx: np.ndarray) -> None:
     """Write [H, W, 4] uint8 BGRX pixels as a 32-bit bottom-up BMP.
 

@@ -3,21 +3,25 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Pipeline under test (the framework's default registered DCT codec path):
-  compress   = device DCT+quantize (bit-exact jitted kernels, one fused
-               executable per frame geometry) + native C++ multithreaded
-               Huffman encode on the host
-  decompress = native Huffman decode + device dequantize+IDCT
-for 4032x3008 IYUV frames at quality 50 — the work of the reference CLI's
-``-compress DCT 50`` + ``-decompress`` (myyuv_cli/main.cpp:151-207) minus
-file I/O. ``vs_baseline`` is the speedup over the compiled single-threaded
-reference CLI doing the same roundtrip on this host (measured once, cached
-in .oracle/baseline_bench.json).
+Paths measured (all bit-exact vs the compiled reference CLI):
 
-Sub-metrics: the device-transform-only roundtrip rate (the TPU kernel
-ceiling) and host entropy stage rates. The fully-on-chip entropy codec
-(entropy/device.py) is correct but gather/scatter-bound on current
-hardware (see PERF_NOTES.md) and not yet the default path.
+  device  — the fully on-chip codec: DCT+quantize, Pallas Huffman
+            encode, ragged stream compaction, window expansion, Pallas
+            Huffman decode, dequantize+IDCT. One executable per direction
+            per geometry (engine/device_stream.compress_frame /
+            decompress_frame); nothing crosses the host link.
+  batch   — the same on-chip codec over a B-frame 1080p batch
+            (BASELINE.json config 3: batched synthetic 1080p frames),
+            frames generated on device; reports frames/s.
+  cpu     — fused native C++ codec, 4 host threads, zero device traffic.
+  hybrid  — device transform + native host entropy (tunnel-bound here;
+            the PCIe path in production).
+
+The headline is the fastest CORRECT 4K path. ``vs_baseline`` is the
+speedup over the single-threaded reference CLI roundtrip on this host.
+Per-stage device timings are reported under "stages_ms" (SURVEY.md §5
+tracing row); set MYYUV_BENCH_PROFILE=1 to also capture a jax.profiler
+trace into .profiles/.
 """
 
 import json
@@ -37,8 +41,13 @@ ORACLE = REPO / ".oracle" / "myyuv_cli"
 BASELINE_CACHE = REPO / ".oracle" / "baseline_bench.json"
 
 W4K, H4K = 4032, 3008
+W1080, H1080 = 1920, 1088          # 1080p padded to the codec's 16-multiple
+BATCH_B = 8                        # frames per batched executable
+BATCH_TOTAL = 1024                 # frames counted for the batch metric
 QUALITY = 50
 REPS = int(os.environ.get("MYYUV_BENCH_REPS", "10"))
+WITH_STAGES = os.environ.get("MYYUV_BENCH_STAGES", "1") != "0"
+WITH_PROFILE = os.environ.get("MYYUV_BENCH_PROFILE", "0") == "1"
 
 
 def log(*a):
@@ -114,6 +123,128 @@ def measure_reference_baseline(planes):
     return out["roundtrip_s"]
 
 
+def _sync(x):
+    """Force a device->host transfer: block_until_ready is unreliable on
+    the tunneled platform (CLAUDE.md)."""
+    np.asarray(x.ravel()[:1] if getattr(x, "ndim", 0) else x)
+
+
+def _time(fn, reps=REPS, sync=_sync):
+    r = fn()
+    sync(r)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = fn()
+    sync(r)
+    return (time.perf_counter() - t0) / reps
+
+
+def bench_device_4k(planes_np, qts):
+    """Fully on-chip 4K roundtrip (frame-level executables)."""
+    import jax.numpy as jnp
+    from myyuv_tpu.engine import device_stream as ds
+
+    h, w = planes_np[0].shape
+    y, u, v = [jnp.asarray(p) for p in planes_np]
+
+    def rt():
+        content4, sizes, total, ok = ds.compress_frame(y, u, v, *qts)
+        ry, ru, rv, dok = ds.decompress_frame(content4, sizes, *qts,
+                                              h=h, w=w)
+        return ry, total, ok & dok
+
+    ry, total, ok = rt()
+    _sync(ry)
+    if not bool(ok):
+        return None, None, None
+    dt = _time(lambda: rt()[0])
+    return dt, int(total), np.asarray(ry)
+
+
+def bench_device_batch_1080p(qts):
+    """Batched synthetic 1080p roundtrips, frames generated on device."""
+    import jax
+    import jax.numpy as jnp
+    from myyuv_tpu.engine import device_stream as ds
+
+    @jax.jit
+    def make_frames(seed):
+        yy = jnp.arange(H1080, dtype=jnp.float32)[:, None]
+        xx = jnp.arange(W1080, dtype=jnp.float32)[None, :]
+        base = 128.0 + 60.0 * jnp.sin(xx / 9.0) * jnp.cos(yy / 7.0)
+        key = jax.random.PRNGKey(seed)
+        ks = jax.random.split(key, 3)
+        noise = jax.random.randint(ks[0], (BATCH_B, H1080, W1080), 0, 24)
+        y = (base[None] + noise).astype(jnp.uint8)
+        u = jax.random.randint(ks[1], (BATCH_B, H1080 // 2, W1080 // 2),
+                               100, 156, dtype=jnp.int32).astype(jnp.uint8)
+        v = jax.random.randint(ks[2], (BATCH_B, H1080 // 2, W1080 // 2),
+                               100, 156, dtype=jnp.int32).astype(jnp.uint8)
+        return y, u, v
+
+    def rt(seed):
+        y, u, v = make_frames(seed)
+        (ry, ru, rv), total, ok = ds.roundtrip_batch(y, u, v, qts)
+        return ry, total, ok
+
+    ry, total, ok = rt(0)
+    _sync(ry)
+    if not bool(ok):
+        return None, 0
+    n_batches = max(1, BATCH_TOTAL // BATCH_B)
+    # measure enough batches to be stable; scale to the nominal total
+    meas = min(n_batches, max(4, REPS))
+    t0 = time.perf_counter()
+    for i in range(meas):
+        ry, total, ok = rt(i + 1)
+    _sync(ry)
+    per_frame = (time.perf_counter() - t0) / (meas * BATCH_B)
+    return per_frame, int(total)
+
+
+def bench_stages(planes_np, qts):
+    """Per-stage device timings on the 4K luma plane (SURVEY §5 tracing)."""
+    import jax
+    import jax.numpy as jnp
+    from myyuv_tpu.engine import device_stream as ds
+    from myyuv_tpu.kernels import device as kdev
+
+    y = jnp.asarray(planes_np[0])
+    h, w = planes_np[0].shape
+    qt = qts[0]
+    out = {}
+
+    j_dctq = jax.jit(lambda p: kdev.dct_quantize_plane(p, qt))
+    coeffs = j_dctq(y)
+    out["dct_quantize"] = _time(lambda: j_dctq(y), reps=5)
+    n = coeffs.shape[0]
+    cflat = coeffs.reshape(n, 64)
+    j_enc = jax.jit(lambda c: ds._encode_words_dispatch(c)[0])
+    j_enc(cflat)
+    out["huffman_encode"] = _time(lambda: j_enc(cflat), reps=5)
+
+    def comp(c):
+        words, sizes, ok = ds._encode_words_dispatch(c)
+        return ds._compact_words(words, sizes, jnp.all(ok))
+    j_comp = jax.jit(comp)
+    content4, sizes, total, ok = j_comp(cflat)
+    full = _time(lambda: j_comp(cflat)[0], reps=5)
+    out["compact"] = max(0.0, full - out["huffman_encode"])
+
+    j_win = jax.jit(lambda c4, s: ds._expand_window(
+        c4, ds._chunk_rows(s.astype(jnp.int32)), 16))
+    R = j_win(content4, sizes)
+    out["window"] = _time(lambda: j_win(content4, sizes), reps=5)
+    j_dec = jax.jit(lambda r: ds._decode_words_dispatch(r)[0])
+    j_dec(R)
+    out["huffman_decode"] = _time(lambda: j_dec(R), reps=5)
+    j_idct = jax.jit(lambda c: kdev.dequantize_idct_plane(
+        c.reshape(-1, 8, 8), qt, h, w))
+    j_idct(coeffs)
+    out["dequantize_idct"] = _time(lambda: j_idct(coeffs), reps=5)
+    return {k: round(v * 1e3, 2) for k, v in out.items()}
+
+
 def main() -> int:
     from myyuv_tpu.runtime import jaxcache
     jaxcache.enable()
@@ -130,28 +261,33 @@ def main() -> int:
     qts = eb.plane_qtables([QUALITY] * 3)
     qts_np = [np.asarray(q) for q in qts]
 
+    profile_ctx = None
+    if WITH_PROFILE:
+        profile_dir = REPO / ".profiles"
+        profile_dir.mkdir(exist_ok=True)
+        profile_ctx = jax.profiler.trace(str(profile_dir))
+        profile_ctx.__enter__()
+        log(f"profiling to {profile_dir}")
+
+    # --- fully on-chip 4K roundtrip -------------------------------------
+    device_s, device_bytes, ry_dev = bench_device_4k(planes_np, qts)
+    if device_s is not None:
+        log(f"device on-chip 4K roundtrip: {1/device_s:.2f} frames/s "
+            f"({device_s*1e3:.1f} ms)")
+    else:
+        log("device on-chip path overflowed capacity (fell back)")
+
+    # --- batched synthetic 1080p (device) --------------------------------
+    batch_s, _ = bench_device_batch_1080p(qts)
+    if batch_s is not None:
+        log(f"device batched 1080p ({BATCH_B}/exe, {BATCH_TOTAL} nominal): "
+            f"{1/batch_s:.1f} frames/s ({batch_s*1e3:.2f} ms/frame)")
+
+    # --- device transform + native host entropy (hybrid) ----------------
     enc = jax.jit(lambda y, u, v, a, b, c: eb.encode_planes(y, u, v, a, b, c))
     dec = jax.jit(lambda cy, cu, cv, a, b, c: eb.decode_planes(
         cy, cu, cv, a, b, c, h, w))
 
-    def sync(x):
-        np.asarray(x[0] if isinstance(x, (tuple, list)) else x)[:1]
-
-    # --- device transform roundtrip (on-chip kernel ceiling) -------------
-    cs = enc(*planes, *qts)
-    rs = dec(*cs, *qts)
-    sync(rs)
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        cs = enc(*planes, *qts)
-        rs = dec(*cs, *qts)
-    sync(rs)
-    transform_s = (time.perf_counter() - t0) / REPS
-    log(f"device transform roundtrip: {1/transform_s:.2f} frames/s "
-        f"({transform_s*1e3:.1f} ms)")
-
-    # --- hybrid roundtrip: device transform + native host entropy --------
-    # (transfer-bound on tunnel dev boxes; the production PCIe path)
     def roundtrip_hybrid():
         cy, cu, cv = enc(*planes, *qts)
         streams = [entropy.encode_blocks(np.asarray(c).reshape(-1, 64))
@@ -159,7 +295,7 @@ def main() -> int:
         codes = [entropy.decode_blocks(s, c) for s, c in streams]
         ry, ru, rv = dec(*[jnp.asarray(c.reshape(-1, 8, 8)) for c in codes],
                          *qts)
-        sync(ry)
+        _sync(ry)
         return streams, np.asarray(ry)
 
     streams, ry = roundtrip_hybrid()
@@ -195,8 +331,13 @@ def main() -> int:
             f"({cpu_s*1e3:.0f} ms)")
         assert np.array_equal(ry_cpu, ry), "cpu/hybrid paths disagree"
 
-    e2e_s = min(x for x in (hybrid_s, cpu_s) if x is not None)
-    best = "cpu" if e2e_s == cpu_s else "hybrid"
+    candidates = {"hybrid": hybrid_s}
+    if cpu_s is not None:
+        candidates["cpu"] = cpu_s
+    if device_s is not None:
+        candidates["device"] = device_s
+    best = min(candidates, key=candidates.get)
+    e2e_s = candidates[best]
     log(f"best end-to-end path: {best} at {1/e2e_s:.2f} frames/s")
 
     comp_bytes = sum(int(s.astype(np.int64).sum()) + s.size + 8
@@ -213,11 +354,24 @@ def main() -> int:
                 scalar.plane_qtable(0, QUALITY)),
             scalar.plane_qtable(0, QUALITY)), h, w)
     bitexact = bool(np.array_equal(ry, want))
+    if ry_dev is not None:
+        bitexact = bitexact and bool(np.array_equal(ry_dev, want))
     mse = float(np.mean((ry.astype(np.float64)
                          - planes_np[0].astype(np.float64)) ** 2))
     psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
     log(f"bit-exact vs scalar oracle: {bitexact}; PSNR-Y {psnr:.2f} dB; "
         f"ratio {ratio:.2f}x")
+
+    stages = None
+    if WITH_STAGES:
+        try:
+            stages = bench_stages(planes_np, qts)
+            log("stages (4K luma, ms):", stages)
+        except Exception as e:  # keep the bench robust
+            log("stage timing failed:", e)
+
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
 
     try:
         baseline_s = measure_reference_baseline(planes_np)
@@ -231,14 +385,17 @@ def main() -> int:
         "unit": "frames/s",
         "vs_baseline": (round(baseline_s / e2e_s, 2) if baseline_s else None),
         "best_path": best,
+        "device_roundtrip_fps": (round(1 / device_s, 2)
+                                 if device_s else None),
+        "batched_1080p_fps": (round(1 / batch_s, 2) if batch_s else None),
         "cpu_roundtrip_fps": (round(1 / cpu_s, 2) if cpu_s else None),
         "hybrid_roundtrip_fps": round(1 / hybrid_s, 2),
-        "device_transform_roundtrip_fps": round(1 / transform_s, 2),
         "reference_cli_roundtrip_s": (round(baseline_s, 3)
                                       if baseline_s else None),
         "bit_exact_vs_oracle": bitexact,
         "psnr_y_db": round(psnr, 2),
         "compression_ratio": round(ratio, 2),
+        "stages_ms": stages,
     }
     print(json.dumps(result))
     return 0

@@ -151,7 +151,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("-frames", type=int, default=24,
                    help="frame count for -cube")
     p.add_argument("-size", type=int, default=512,
-                   help="output resolution for -cube")
+                   help="output resolution for -cube (0 = the reference "
+                        "1000x800 screen)")
+    p.add_argument("-shapes", type=int, default=1, metavar="N",
+                   help="number of shapes, 1..1000, placed without overlap"
+                        " (spinning_cube.cpp:288-312)")
+    p.add_argument("-force_cube", action="store_true",
+                   help="force a cube even for non-square images "
+                        "(spinning_cube main.cpp:20-57)")
+    p.add_argument("-flip_width_height", action="store_true",
+                   help="swap texture width/height for the shape aspect "
+                        "(no-op with -force_cube)")
+    p.add_argument("-fly", action="store_true",
+                   help="drive the fly camera along the scripted path "
+                        "(headless stand-in for WASD/arrows)")
     p.add_argument("-o", "--output", type=Path, default=None)
     p.add_argument("--platform", choices=["auto", "cpu", "tpu"],
                    default="auto",
@@ -200,7 +213,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             out = args.output or _default_out(args.image, "", "-cube")
             with _Timer("cube render"):
                 paths = cube.render_spinning_cube(
-                    tex, out, n_frames=args.frames, out_size=args.size)
+                    tex, out, n_frames=args.frames, out_size=args.size,
+                    shapes=args.shapes, force_cube=args.force_cube,
+                    flip_width_height=args.flip_width_height,
+                    fly_script=(cube.default_fly_script if args.fly
+                                else None))
             print(f"wrote {len(paths)} frames to {out}/")
             return 0
 

@@ -216,6 +216,108 @@ def decompress_frame(content4: jnp.ndarray, sizes: jnp.ndarray,
     return y, u, v, jnp.all(ok)
 
 
+# ---------------------------------------------------------------------------
+# Batched multi-frame API: B frames per executable
+# ---------------------------------------------------------------------------
+#
+# The reference's throughput story is one image at a time (myyuv_cli); the
+# TPU-native story is a batch axis: B frames' blocks concatenate into one
+# block tensor so dispatch, layout changes and kernel launches amortize
+# across the batch (BASELINE.json config 3: batched synthetic 1080p).
+# Block order is frame-major, per frame Y then U then V, so every frame's
+# chunks stay contiguous in the stream and the host can split per-frame
+# files with plain slicing.
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def compress_batch(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                   qt_y: jnp.ndarray, qt_u: jnp.ndarray, qt_v: jnp.ndarray,
+                   precision: str = "exact"):
+    """[B, H, W] (+2x [B, H/2, W/2]) u8 -> (content4, sizes [B*Nf], total
+    bytes, ok) — the whole batch compressed on-chip in one executable."""
+    b = y.shape[0]
+    by = kdev.plane_to_blocks(y)                 # [B, ny, 8, 8]
+    bu = kdev.plane_to_blocks(u)
+    bv = kdev.plane_to_blocks(v)
+    ny, nc = by.shape[1], bu.shape[1]
+    blocks = jnp.concatenate([by, bu, bv], axis=1).reshape(-1, 8, 8)
+    qtab = jnp.tile(_frame_qtables(qt_y, qt_u, qt_v, ny, nc), (b, 1, 1))
+    coeffs = kdev.dct_quantize(blocks, qtab, precision=precision)
+    n = coeffs.shape[0]
+    words, sizes, ok = _encode_words_dispatch(coeffs.reshape(n, 64))
+    return _compact_words(words, sizes, jnp.all(ok))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("b", "h", "w", "cw", "precision"))
+def decompress_batch(content4: jnp.ndarray, sizes: jnp.ndarray,
+                     qt_y: jnp.ndarray, qt_u: jnp.ndarray,
+                     qt_v: jnp.ndarray, b: int, h: int, w: int,
+                     cw: int = 16, precision: str = "exact"):
+    """Batch interchange -> ([B, H, W], 2x [B, H/2, W/2], ok)."""
+    ny = (h // 8) * (w // 8)
+    nc = (h // 16) * (w // 16)
+    sizes = sizes.astype(jnp.int32)
+    sizes_r = _chunk_rows(sizes)
+    R = _expand_window(content4, sizes_r, cw)
+    coeffs, ok = _decode_words_dispatch(R)
+    ok = ok & (sizes_r <= cw // ALIGN_W)
+    qtab = jnp.tile(_frame_qtables(qt_y, qt_u, qt_v, ny, nc), (b, 1, 1))
+    pix = kdev.dequantize_idct(coeffs.reshape(-1, 8, 8), qtab,
+                               precision=precision)
+    pix = pix.reshape(b, ny + 2 * nc, 8, 8)
+    y = kdev.blocks_to_plane(pix[:, :ny], h, w)
+    u = kdev.blocks_to_plane(pix[:, ny:ny + nc], h // 2, w // 2)
+    v = kdev.blocks_to_plane(pix[:, ny + nc:], h // 2, w // 2)
+    return y, u, v, jnp.all(ok)
+
+
+def roundtrip_batch(y, u, v, qtables, precision: str = "exact"):
+    """On-chip roundtrip of a [B, ...] frame batch; returns device arrays
+    (recon planes, total compressed bytes, ok)."""
+    b, h, w = y.shape
+    content4, sizes, total, ok = compress_batch(
+        y, u, v, *qtables, precision=precision)
+    ry, ru, rv, dok = decompress_batch(
+        content4, sizes, *qtables, b=b, h=h, w=w, precision=precision)
+    return (ry, ru, rv), total, ok & dok
+
+
+def batch_streams_split(sizes_np: np.ndarray, packed: np.ndarray,
+                        b: int, ny: int, nc: int):
+    """Split a batch's packed bytes into per-frame [(sizes, content) x3]."""
+    frames = []
+    nf = ny + 2 * nc
+    boffs = np.cumsum(sizes_np.astype(np.int64)) - sizes_np
+    for f in range(b):
+        lo = f * nf
+        fs = sizes_np[lo: lo + nf]
+        base = int(boffs[lo])
+        content = packed[base: base + int(fs.astype(np.int64).sum())]
+        frames.append(_split_planes(fs, content, ny, nc))
+    return frames
+
+
+def compress_batch_to_streams(planes_np, qtables_np,
+                              precision: str = "exact"):
+    """Host API: batched planes -> per-frame stream lists (file layout)."""
+    from .. import native
+    y, u, v = [np.ascontiguousarray(p) for p in planes_np]
+    b, h, w = y.shape
+    ny = (h // 8) * (w // 8)
+    nc = (h // 16) * (w // 16)
+    content4, sizes, total, ok = compress_batch(
+        jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+        *[jnp.asarray(q) for q in qtables_np], precision=precision)
+    if not bool(ok):
+        raise BitstreamError("device compress overflow/failure")
+    sizes_np = np.asarray(sizes).astype(np.int32)
+    totalw = int(native._chunk_words(sizes_np, ALIGN_W).sum())
+    words_np = pull_words(content4, totalw)
+    packed = native.repack_words(words_np, sizes_np, align=ALIGN_W)
+    return batch_streams_split(sizes_np, packed, b, ny, nc)
+
+
 @functools.partial(jax.jit, static_argnames=("precision",))
 def compress_plane(plane: jnp.ndarray, qtable: jnp.ndarray,
                    precision: str = "exact"):

@@ -142,8 +142,17 @@ def _exact_quantize(coef: jnp.ndarray, qtable: jnp.ndarray) -> jnp.ndarray:
     return (sign * n).astype(jnp.int16)
 
 
-_C = jnp.asarray(DCT_MATRIX8)            # [8, 8] f32
-_CT = jnp.asarray(np.ascontiguousarray(DCT_MATRIX8.T))
+def _dct_mats():
+    """([8, 8] f32 C, C^T) as NUMPY constants: jnp ops treat them as
+    trace-time literals. Deliberately NOT module-level jnp arrays (that
+    initializes the JAX backend at import, breaking
+    jax.distributed.initialize in multi-process programs) and NOT an
+    lru_cache of jnp.asarray (a first call inside a trace would cache a
+    leaked tracer)."""
+    return DCT_MATRIX8, _DCT_MATRIX8_T
+
+
+_DCT_MATRIX8_T = np.ascontiguousarray(DCT_MATRIX8.T)
 
 
 def _mxu_transform(left: jnp.ndarray, x: jnp.ndarray,
@@ -167,9 +176,11 @@ def dct_quantize(blocks_u8: jnp.ndarray, qtable: jnp.ndarray,
     x = blocks_u8.astype(F32) - F32(128)
     if precision == "exact":
         z = _runtime_zero(qtable)
+        _C, _CT = _dct_mats()
         t = _seq_matmul(_C, x, z)
         coef = _seq_matmul(t, _CT, z)
         return _exact_quantize(coef, qtable)
+    _C, _CT = _dct_mats()
     coef = _mxu_transform(_C, x, _CT)
     return round_half_away(coef / qtable.astype(F32)).astype(jnp.int16)
 
@@ -184,9 +195,11 @@ def dequantize_idct(coeffs: jnp.ndarray, qtable: jnp.ndarray,
     x = coeffs.astype(F32) * qtable.astype(F32)
     if precision == "exact":
         z = _runtime_zero(qtable)
+        _C, _CT = _dct_mats()
         t = _seq_matmul(_CT, x, z)
         pix = _seq_matmul(t, _C, z)
     else:
+        _C, _CT = _dct_mats()
         pix = _mxu_transform(_CT, x, _C)
     r = round_half_away(pix).astype(jnp.int32) + 128
     return jnp.clip(r, 0, 255).astype(jnp.uint8)

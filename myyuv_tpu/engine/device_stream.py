@@ -208,8 +208,8 @@ def decompress_frame(content4: jnp.ndarray, sizes: jnp.ndarray,
     coeffs, ok = _decode_words_dispatch(R)
     ok = ok & (sizes_r <= cw // ALIGN_W)
     qtab = _frame_qtables(qt_y, qt_u, qt_v, ny, nc)
-    pix = kdev.dequantize_idct(coeffs.reshape(-1, 8, 8), qtab,
-                               precision=precision)
+    pix = kdev.unfuse(kdev.dequantize_idct(coeffs.reshape(-1, 8, 8), qtab,
+                                           precision=precision))
     y = kdev.blocks_to_plane(pix[:ny], h, w)
     u = kdev.blocks_to_plane(pix[ny:ny + nc], h // 2, w // 2)
     v = kdev.blocks_to_plane(pix[ny + nc:], h // 2, w // 2)
@@ -263,8 +263,8 @@ def decompress_batch(content4: jnp.ndarray, sizes: jnp.ndarray,
     coeffs, ok = _decode_words_dispatch(R)
     ok = ok & (sizes_r <= cw // ALIGN_W)
     qtab = jnp.tile(_frame_qtables(qt_y, qt_u, qt_v, ny, nc), (b, 1, 1))
-    pix = kdev.dequantize_idct(coeffs.reshape(-1, 8, 8), qtab,
-                               precision=precision)
+    pix = kdev.unfuse(kdev.dequantize_idct(coeffs.reshape(-1, 8, 8), qtab,
+                                           precision=precision))
     pix = pix.reshape(b, ny + 2 * nc, 8, 8)
     y = kdev.blocks_to_plane(pix[:, :ny], h, w)
     u = kdev.blocks_to_plane(pix[:, ny:ny + nc], h // 2, w // 2)

@@ -121,28 +121,31 @@ def _encode_kernel(msg_ref, words_ref, size_ref, ok_ref):
     mlen = jnp.maximum(mlen, 1)                      # all-zero -> one 0 sym
     validall = iota64 < mlen                          # [64, TILE]
 
-    # ---- distinct symbols + counts + first-occurrence -------------------
-    def count_body(p, carry):
-        counts, first = carry
-        m_p = _row(msg, p, iota64)
-        eq = (msg == m_p) & validall
-        cnt_p = jnp.sum(eq.astype(I32), axis=0, keepdims=True)
-        dup = jnp.sum((eq & (iota64 < p)).astype(I32), axis=0,
-                      keepdims=True) > 0
-        first_p = (p < mlen) & ~dup
-        sel = iota64 == p
-        counts = jnp.where(sel, cnt_p, counts)
-        first = jnp.where(sel, first_p.astype(I32), first)
-        return counts, first
-
-    counts, first = jax.lax.fori_loop(
-        0, 64, count_body,
-        (jnp.zeros((64, TILE), I32), jnp.zeros((64, TILE), I32)))
-    firstb = (first != 0) & validall
-    n_sym = jnp.sum(firstb.astype(I32), axis=0, keepdims=True)  # [1, TILE]
+    # ---- distinct symbols + counts via a value sort ---------------------
+    # Sorting the trimmed message groups equal symbols into runs: run
+    # starts mark the distinct symbols and run lengths are their counts.
+    # One bitonic (21 stages) + two log-scans replace the round-1 64-step
+    # compare-all loop (~6x fewer vector ops for this section); the
+    # (count, symbol) multiset is identical, so the canonical output is
+    # byte-identical.
+    vals = jnp.where(validall, msg + 1024, BIG)       # 11-bit symbol space
+    svals = _bitonic64(vals, iota64)
+    valid_s = svals < BIG
+    prevv = _shift_down(svals, 1)
+    run_start0 = valid_s & ((iota64 == 0) | (svals != prevv))
+    # next run boundary strictly after each row (reverse running min)
+    bnd0 = run_start0 | ~valid_s
+    bpos0 = jnp.where(bnd0, iota64, 99)
+    nxt0 = _shift_up(bpos0, 1) + jnp.where(iota64 >= 63, 99, 0)
+    for s in (1, 2, 4, 8, 16, 32):
+        nxt0 = jnp.minimum(nxt0, _shift_up(nxt0, s) +
+                           jnp.where(iota64 >= 64 - s, 99, 0))
+    nxt0 = jnp.minimum(nxt0, 64)
+    cnt0 = nxt0 - iota64                              # valid at run starts
+    n_sym = jnp.sum(run_start0.astype(I32), axis=0, keepdims=True)
 
     # ---- leaf sort by (count, symbol) -----------------------------------
-    leafkey = jnp.where(firstb, counts * 4096 + msg + 1024, BIG)
+    leafkey = jnp.where(run_start0, cnt0 * 4096 + svals, BIG)
     leafkey = _bitonic64(leafkey, iota64)
     in_rows = iota64 < n_sym
     leafw = jnp.where(in_rows, leafkey >> 12, BIG)    # counts, sorted
@@ -184,17 +187,22 @@ def _encode_kernel(msg_ref, words_ref, size_ref, ok_ref):
         (zero1, zero1, zero1, jnp.full((64, TILE), BIG, I32),
          jnp.zeros((128, TILE), I32)))
 
-    # ---- depth sweep: ids descending, parents have larger ids ----------
+    # ---- depth sweep: write-based top-down propagation -----------------
+    # Interior ids descend 126..64; every node's parent has a larger id,
+    # so when step nid runs, depth[nid] is final (the root keeps its
+    # zero-init). Writing children (parent == nid -> depth+1) with one
+    # static-row read per step replaces the round-1 read-based sweep's two
+    # one-hot reductions per step over twice as many steps (~8x fewer
+    # vector ops for this section). Untouched rows (never consumed) keep
+    # depth 0 and are masked off by in_rows downstream.
     root = 64 + n_sym - 2                             # valid when n_sym >= 2
 
     def depth_body(i, depth):
         nid = 126 - i
-        pidx = _row(parent, nid, iota128)
-        pd = _row(depth, pidx, iota128)
-        d = jnp.where(nid == root, 0, pd + 1)
-        return jnp.where(iota128 == nid, d, depth)
+        d = _row(depth, nid, iota128)                 # [1, TILE]
+        return jnp.where(parent == nid, d + 1, depth)
 
-    depth = jax.lax.fori_loop(0, 127, depth_body, jnp.zeros((128, TILE), I32))
+    depth = jax.lax.fori_loop(0, 63, depth_body, jnp.zeros((128, TILE), I32))
     leaf_len = jnp.where(n_sym == 1, 1, depth[:64])   # per sorted-leaf row
 
     # ---- canonical (len, sym) order + Kraft codes ----------------------
@@ -213,14 +221,18 @@ def _encode_kernel(msg_ref, words_ref, size_ref, ok_ref):
     code_c = (incl - kraft) >> (8 - lc)               # exclusive prefix
 
     # ---- per-message-position (len, code) lookup -----------------------
+    # one composite one-hot read per step (len 4b | code 8b | sym11 11b)
+    # instead of three separate row reads
+    canrec = (jnp.clip(len_c, 0, 8) << 19) | ((code_c & 0xFF) << 11) \
+        | (sym_c & 0x7FF)
+    msg11 = msg & 0x7FF
+
     def lut_body(c, carry):
         plen, pcode = carry
-        s = _row(sym_c, c, iota64)
-        l = _row(len_c, c, iota64)
-        cd = _row(code_c, c, iota64)
-        match = (msg == s) & (c < n_sym)
-        plen = jnp.where(match, l, plen)
-        pcode = jnp.where(match, cd, pcode)
+        rec = _row(canrec, c, iota64)
+        match = (msg11 == (rec & 0x7FF)) & (c < n_sym)
+        plen = jnp.where(match, (rec >> 19) & 15, plen)
+        pcode = jnp.where(match, (rec >> 11) & 0xFF, pcode)
         return plen, pcode
 
     plen, pcode = jax.lax.fori_loop(

@@ -294,9 +294,19 @@ def dct_quantize_plane(plane: jnp.ndarray, qtable: jnp.ndarray,
     return dct_quantize(plane_to_blocks(plane), qtable, precision)
 
 
+def unfuse(x: jnp.ndarray) -> jnp.ndarray:
+    """Materialization barrier between the inverse transform and the
+    blocks->plane relayout: XLA's fusion of the two regresses 3x on TPU
+    (22.5 ms fused vs 4.4 + 3.3 ms split on a 4K luma plane, measured);
+    the barrier keeps each at its solo speed. The forward direction fuses
+    profitably (5.7 vs 7.8 ms) and takes no barrier."""
+    return jax.lax.optimization_barrier(x)
+
+
 @functools.partial(jax.jit, static_argnames=("h", "w", "precision"))
 def dequantize_idct_plane(coeffs: jnp.ndarray, qtable: jnp.ndarray,
                           h: int, w: int,
                           precision: str = "exact") -> jnp.ndarray:
     """[..., N, 8, 8] int16 -> [..., H, W] uint8 plane."""
-    return blocks_to_plane(dequantize_idct(coeffs, qtable, precision), h, w)
+    return blocks_to_plane(unfuse(dequantize_idct(coeffs, qtable,
+                                                  precision)), h, w)

@@ -145,8 +145,13 @@ def _tree_kernel(words_ref, meta_ref, rec_ref, counts_ref, bad_ref):
     zero1 = jnp.zeros((1, TILE), I32)
     carry = (st, zero1, zero1, zero1, zero1, jnp.zeros((9, TILE), I32),
              jnp.zeros((64, TILE), I32))
+    # every step stores one symbol while any remain, so the trip count
+    # only needs to cover the tile's largest symbol count; tree_bits >=
+    # 8 + 11*n_sym bounds it from the header alone (malformed declarations
+    # beyond the bound still flag bad via the consumed != tree_bits check)
+    steps = jnp.max(jnp.clip((tree_bits - 8) // 11, 0, 64))
     st, g_rem, cur_len, consumed, nstored, counts, rec = jax.lax.fori_loop(
-        0, 64, step, carry)
+        0, steps, step, carry)
     # a valid tree ends exactly at tree_size bytes with no group open
     # (>64-symbol trees leave g_rem > 0 -> bad; ADVICE round 1)
     consumed = consumed + ((8 - (consumed & 7)) & 7)
@@ -199,8 +204,16 @@ def _payload_kernel(words_ref, meta_ref, rec_ref, counts_ref, tbad_ref,
     bitpos = jnp.zeros((1, TILE), I32)
     bad = tbad_ref[...]
 
-    def sym_step(p, carry):
-        st, coeffs, bitpos, bad = carry
+    def sym_cond(carry):
+        # run until every lane has either consumed its payload or gone
+        # bad (bad lanes stop advancing bitpos, so they must not hold the
+        # loop open); p < 64 is the format bound either way
+        p, st, coeffs, bitpos, bad = carry
+        live = (bitpos < enc_bits) & (bad == 0)
+        return (p < 64) & (jnp.max(live.astype(I32)) > 0)
+
+    def sym_step(carry):
+        p, st, coeffs, bitpos, bad = carry
         W0 = st[0]
         active = bitpos < enc_bits
         peek = _shr_l(W0, 24) & 0xFF
@@ -228,10 +241,10 @@ def _payload_kernel(words_ref, meta_ref, rec_ref, counts_ref, tbad_ref,
         adv = jnp.where(write, length, 0)
         bitpos = bitpos + adv
         st = consume(st, adv)
-        return st, coeffs, bitpos, bad
+        return p + 1, st, coeffs, bitpos, bad
 
-    st, coeffs, bitpos, bad = jax.lax.fori_loop(
-        0, 64, sym_step, (st, coeffs, bitpos, bad))
+    _, st, coeffs, bitpos, bad = jax.lax.while_loop(
+        sym_cond, sym_step, (0, st, coeffs, bitpos, bad))
     bad = bad | (bitpos != enc_bits).astype(I32)
 
     out_ref[...] = coeffs.astype(jnp.int16)

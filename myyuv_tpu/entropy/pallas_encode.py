@@ -114,7 +114,6 @@ def _encode_kernel(msg_ref, words_ref, size_ref, ok_ref):
     size [1, TILE] i32 chunk bytes, ok [1, TILE] i32."""
     msg = msg_ref[...]
     iota64 = jax.lax.broadcasted_iota(I32, (64, TILE), 0)
-    iota128 = jax.lax.broadcasted_iota(I32, (128, TILE), 0)
 
     # ---- message trim (Huffman.cpp:174-203) -----------------------------
     mlen = jnp.max(jnp.where(msg != 0, iota64 + 1, 0), axis=0, keepdims=True)
@@ -151,7 +150,15 @@ def _encode_kernel(msg_ref, words_ref, size_ref, ok_ref):
     leafw = jnp.where(in_rows, leafkey >> 12, BIG)    # counts, sorted
     leafsym = jnp.where(in_rows, (leafkey & 4095) - 1024, 0)
 
-    # ---- two-queue Huffman merge (63 masked steps) ----------------------
+    # ---- two-queue Huffman merge ----------------------------------------
+    # Sequential loop steps are the kernel's cost unit (~0.3 us each
+    # regardless of array width, measured), so every loop runs to the
+    # TILE-wide data maximum, not the worst case: nmax-1 merge steps
+    # instead of 63 (q50 images top out at n_sym ~16, mean ~3). Parent
+    # pointers split into leaf/interior halves so the depth sweep touches
+    # [64, TILE] arrays only.
+    nmax = jnp.max(n_sym)                             # scalar loop bound
+
     def pick(state):
         lh, ih, it, intw, active = state
         lw = _row(leafw, lh, iota64)
@@ -166,44 +173,47 @@ def _encode_kernel(msg_ref, words_ref, size_ref, ok_ref):
         return (lh, ih, it, intw, active), w, node
 
     def merge_body(s, carry):
-        lh, ih, it, intw, parent = carry
+        lh, ih, it, intw, parentL, parentI = carry
         active = it < n_sym - 1
         st = (lh, ih, it, intw, active)
         st, w1, node1 = pick(st)
         st, w2, node2 = pick(st)
         lh, ih, it, intw, _ = st
         new_id = 64 + it
-        n1 = jnp.where(active, node1, 127)
-        n2 = jnp.where(active, node2, 127)
-        parent = jnp.where(iota128 == n1, new_id, parent)
-        parent = jnp.where(iota128 == n2, new_id, parent)
+        n1 = jnp.where(active, node1, 999)            # sentinel off-range
+        n2 = jnp.where(active, node2, 999)
+        parentL = jnp.where(iota64 == n1, new_id, parentL)
+        parentL = jnp.where(iota64 == n2, new_id, parentL)
+        parentI = jnp.where(iota64 == n1 - 64, new_id, parentI)
+        parentI = jnp.where(iota64 == n2 - 64, new_id, parentI)
         intw = jnp.where((iota64 == it) & active, w1 + w2, intw)
         it = it + active.astype(I32)
-        return lh, ih, it, intw, parent
+        return lh, ih, it, intw, parentL, parentI
 
     zero1 = jnp.zeros((1, TILE), I32)
-    lh, ih, it, intw, parent = jax.lax.fori_loop(
-        0, 63, merge_body,
+    zero64 = jnp.zeros((64, TILE), I32)
+    lh, ih, it, intw, parentL, parentI = jax.lax.fori_loop(
+        0, nmax - 1, merge_body,
         (zero1, zero1, zero1, jnp.full((64, TILE), BIG, I32),
-         jnp.zeros((128, TILE), I32)))
+         zero64, zero64))
 
     # ---- depth sweep: write-based top-down propagation -----------------
-    # Interior ids descend 126..64; every node's parent has a larger id,
-    # so when step nid runs, depth[nid] is final (the root keeps its
-    # zero-init). Writing children (parent == nid -> depth+1) with one
-    # static-row read per step replaces the round-1 read-based sweep's two
-    # one-hot reductions per step over twice as many steps (~8x fewer
-    # vector ops for this section). Untouched rows (never consumed) keep
-    # depth 0 and are masked off by in_rows downstream.
-    root = 64 + n_sym - 2                             # valid when n_sym >= 2
+    # Interior ids descend from the tile-max root 64+nmax-2; every node's
+    # parent has a larger id, so when step nid runs, its own depth is
+    # final (roots keep the zero init: a root is never consumed, so its
+    # parentI entry stays 0, below the id range). Each step: one one-hot
+    # row read + two masked [64, TILE] child writes. Untouched rows keep
+    # depth 0 and are masked by in_rows downstream.
+    def depth_body(i, carry):
+        depthI, leafd = carry
+        nid = 64 + nmax - 2 - i
+        d = _row(depthI, nid - 64, iota64) + 1        # [1, TILE]
+        depthI = jnp.where(parentI == nid, d, depthI)
+        leafd = jnp.where(parentL == nid, d, leafd)
+        return depthI, leafd
 
-    def depth_body(i, depth):
-        nid = 126 - i
-        d = _row(depth, nid, iota128)                 # [1, TILE]
-        return jnp.where(parent == nid, d + 1, depth)
-
-    depth = jax.lax.fori_loop(0, 63, depth_body, jnp.zeros((128, TILE), I32))
-    leaf_len = jnp.where(n_sym == 1, 1, depth[:64])   # per sorted-leaf row
+    _, leafd = jax.lax.fori_loop(0, nmax - 1, depth_body, (zero64, zero64))
+    leaf_len = jnp.where(n_sym == 1, 1, leafd)        # per sorted-leaf row
 
     # ---- canonical (len, sym) order + Kraft codes ----------------------
     key2 = jnp.where(in_rows, leaf_len * 4096 + leafsym + 1024, BIG)
@@ -236,7 +246,7 @@ def _encode_kernel(msg_ref, words_ref, size_ref, ok_ref):
         return plen, pcode
 
     plen, pcode = jax.lax.fori_loop(
-        0, 64, lut_body,
+        0, nmax, lut_body,
         (jnp.zeros((64, TILE), I32), jnp.zeros((64, TILE), I32)))
     enc_bits = jnp.sum(jnp.where(validall, plen, 0), axis=0, keepdims=True)
 
@@ -295,42 +305,53 @@ def _encode_kernel(msg_ref, words_ref, size_ref, ok_ref):
 
     st = (jnp.zeros((1, TILE), I32), jnp.zeros((1, TILE), I32),
           jnp.zeros((1, TILE), I32), jnp.zeros((64, TILE), I32))
-    eight = jnp.full((1, TILE), 8, I32)
-    st = append(st, _bitrev8(enc_bits & 0xFF), eight)
-    st = append(st, _bitrev8(_shr_l(enc_bits, 8) & 0xFF), eight)
-    st = append(st, _bitrev8(tree_size & 0xFF), eight)
+    # 3-byte header as ONE 24-bit append (same bit sequence as 3 bytes)
+    hdr24 = (_bitrev8(enc_bits & 0xFF) << 16) \
+        | (_bitrev8(_shr_l(enc_bits, 8) & 0xFF) << 8) \
+        | _bitrev8(tree_size & 0xFF)
+    st = append(st, hdr24, jnp.full((1, TILE), 24, I32))
 
     def tree_body(c, st):
+        # one fused append per canonical row: [pad zeros][group hdr][sym]
+        # (<= 7+8+11 = 26 bits; the leading pad bits of the field are 0)
         rec = _row(tree_rec, c, iota64)
         g_start = (rec >> 28) & 1
         in_r = (rec >> 27) & 1
         gc = (rec >> 21) & 63
         ln = (rec >> 17) & 15
         v11 = rec & 0x7FF
-        W0, nb, wi, regfile = st
+        nb = st[1]
         pad = (8 - (nb & 7)) & 7
-        st = (W0, nb, wi, regfile)
-        st = append(st, jnp.zeros((1, TILE), I32),
-                    jnp.where(g_start > 0, pad, 0))
-        hdr = ((ln - 1) << 5) | (gc - 1)
-        st = append(st, _bitrev8(hdr), jnp.where(g_start > 0, 8, 0))
-        st = append(st, _bitrev11(v11), jnp.where(in_r > 0, 11, 0))
-        return st
+        hdr = _bitrev8(((ln - 1) << 5) | (gc - 1))
+        v = jnp.where(in_r > 0, _bitrev11(v11), 0)
+        v = v | jnp.where(g_start > 0, hdr << (in_r * 11), 0)
+        L = g_start * (pad + 8) + in_r * 11
+        return append(st, v, L)
 
-    st = jax.lax.fori_loop(0, 64, tree_body, st)
+    st = jax.lax.fori_loop(0, nmax, tree_body, st)
     # close the last group to its byte boundary
     W0, nb, wi, regfile = st
     st = append((W0, nb, wi, regfile), jnp.zeros((1, TILE), I32),
                 (8 - (nb & 7)) & 7)
 
-    def pay_body(p, st):
-        rec = _row(pay_rec, p, iota64)
-        vld = (rec >> 12) & 1
-        ln = (rec >> 8) & 15
-        st = append(st, rec & 0xFF, jnp.where(vld > 0, ln, 0))
-        return st
+    # payload rows appended in PAIRS: row 2p's code ahead of row 2p+1's
+    # in one <=16-bit append — halves the sequential step count. Pairing
+    # in place (row 2p holds the pair) keeps sublane shapes static.
+    nxt_rec = _shift_up(pay_rec, 1)
+    v0_ok = ((pay_rec >> 12) & 1) > 0
+    v1_ok = ((nxt_rec >> 12) & 1) > 0
+    l0 = jnp.where(v0_ok, (pay_rec >> 8) & 15, 0)
+    l1 = jnp.where(v1_ok, (nxt_rec >> 8) & 15, 0)
+    c0 = jnp.where(v0_ok, pay_rec & 0xFF, 0)
+    c1 = jnp.where(v1_ok, nxt_rec & 0xFF, 0)
+    pair_rec = ((l0 + l1) << 16) | ((_shl(c0, l1) | c1) & 0xFFFF)
 
-    st = jax.lax.fori_loop(0, 64, pay_body, st)
+    def pay_body(p, st):
+        rec = _row(pair_rec, 2 * p, iota64)
+        return append(st, rec & 0xFFFF, rec >> 16)
+
+    mlenmax = jnp.max(mlen)
+    st = jax.lax.fori_loop(0, (mlenmax + 1) // 2, pay_body, st)
     W0, nb, wi, regfile = st
     regfile = jnp.where(iota64 == wi, W0, regfile)    # final flush
 

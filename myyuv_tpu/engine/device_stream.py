@@ -33,13 +33,18 @@ from ..runtime.errors import BitstreamError
 
 # static content capacity per block; q50 averages ~12 B/block, max 255
 CAP_PER_BLOCK = 48
-# word capacity of the aligned device interchange (CAP_PER_BLOCK / 4)
-CAPW_PER_BLOCK = 12
 # interchange granularity: chunks pad to 4-word (16-byte) rows so stream
 # compaction/expansion run as row gathers (slice size 4) instead of
 # per-word gathers — measured 2.4x/3.1x faster on TPU for the same stream
 ALIGN_W = 4
-CAPR_PER_BLOCK = CAPW_PER_BLOCK // ALIGN_W
+# TOTAL interchange capacity is an AVERAGE rows-per-block budget: the
+# compaction gather's cost is linear in the output capacity (measured
+# 29.6 -> 17.3 ms/4K frame going 3 -> 1.5 rows/block), so the default
+# budget is sized for typical streams (q50 ~1.14 rows/block) and callers
+# retry once with the roomy budget before falling back to host entropy
+CAPR_TOTAL_DEFAULT = 2          # 32 B/block average (covers ~q85)
+CAPR_TOTAL_ROOMY = 3            # the per-block-cap-shaped worst case
+CAPW_TOTAL_DEFAULT = CAPR_TOTAL_DEFAULT * ALIGN_W    # words/block average
 
 
 def _decode_lanes_dispatch(lanes):
@@ -55,7 +60,8 @@ def _decode_lanes_dispatch(lanes):
 
 
 def _encode_words_dispatch(coeffs):
-    """[N, 64] i16 -> (words [64, N] i32 kernel-space, sizes [N], ok [N]).
+    """[N, 64] i16 -> (words [N, 64] i32 kernel-space block-major,
+    sizes [N], ok [N]).
 
     Pallas on TPU; on CPU the XLA v1 encoder's lanes are packed to words
     (elementwise) so tests run everywhere."""
@@ -67,7 +73,7 @@ def _encode_words_dispatch(coeffs):
     from ..entropy import pallas_decode
     lanes, sizes, ok = edev.encode_lanes(coeffs)
     words, _ = pallas_decode._pack_words(lanes)
-    return words, sizes, ok
+    return words.T, sizes, ok
 
 
 def _decode_words_dispatch(words):
@@ -83,7 +89,7 @@ def _decode_words_dispatch(words):
         words = jnp.concatenate(
             [words, jnp.zeros((64 - cw, n), jnp.int32)], axis=0)
     from ..entropy.pallas_encode import _unpack_words
-    lanes = _unpack_words(words)
+    lanes = _unpack_words(words.T)
     return edev.decode_lanes(lanes)
 
 
@@ -120,10 +126,11 @@ def _frame_qtables(qt_y, qt_u, qt_v, ny: int, nc: int):
     return qts[qidx]                             # [Ntot, 8, 8]
 
 
-@functools.partial(jax.jit, static_argnames=("precision",))
+@functools.partial(jax.jit, static_argnames=("precision", "capr_pb"))
 def compress_frame(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                    qt_y: jnp.ndarray, qt_u: jnp.ndarray, qt_v: jnp.ndarray,
-                   precision: str = "exact"):
+                   precision: str = "exact",
+                   capr_pb: int = CAPR_TOTAL_DEFAULT):
     """Full-frame on-chip compress -> (content4, sizes, total, ok).
 
     ``content4`` is the word-aligned device interchange: each block's chunk
@@ -147,7 +154,7 @@ def compress_frame(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     coeffs = kdev.dct_quantize(blocks, qtab, precision=precision)
     n = coeffs.shape[0]
     words, sizes, ok = _encode_words_dispatch(coeffs.reshape(n, 64))
-    return _compact_words(words, sizes, jnp.all(ok))
+    return _compact_words(words, sizes, jnp.all(ok), capr_pb)
 
 
 def _chunk_rows(sizes):
@@ -155,24 +162,34 @@ def _chunk_rows(sizes):
     return (sizes + 4 * ALIGN_W - 1) // (4 * ALIGN_W)
 
 
-def _compact_words(words, sizes, ok):
-    """(words [64, N] i32, sizes [N]) -> (content4 [N*CAPW] i32, sizes,
-    total bytes, ok). Chunks pad to ALIGN_W-word rows; the gather moves
-    whole rows (4-word slices), the TPU-friendly granularity."""
+def _compact_words(words, sizes, ok, capr_pb: int = CAPR_TOTAL_DEFAULT):
+    """(words [N, 64] i32 block-major, sizes [N]) -> (content4
+    [N*capr_pb*ALIGN_W] i32, sizes, total bytes, ok).
+
+    Chunks pad to ALIGN_W-word rows; the gather moves whole rows (4-word
+    slices), the TPU-friendly granularity. Row k's block id comes from a
+    cumsum over run marks and its within-block row from a running max of
+    run starts — both scans, so the single gather is the only
+    index-chasing op (the offs_r[block_of] index gather this replaces
+    cost ~9 ms/4K frame). ``capr_pb`` is the AVERAGE rows-per-block
+    capacity; totr > capacity flips ok (callers retry roomier or fall
+    back to host entropy)."""
     n = sizes.shape[0]
     sizes = sizes.astype(jnp.int32)
     sizes_r = _chunk_rows(sizes)
     offs_r = jnp.cumsum(sizes_r) - sizes_r
     totr = jnp.sum(sizes_r)
     total = jnp.sum(sizes)
-    capr = n * CAPR_PER_BLOCK
+    capr = n * capr_pb
     rows_per_block = 64 // ALIGN_W
     mark = jnp.zeros((capr,), jnp.int32).at[offs_r].add(
         1, mode="drop", indices_are_sorted=True, unique_indices=True)
     block_of = jnp.cumsum(mark) - 1
     k = jnp.arange(capr, dtype=jnp.int32)
-    r_of = jnp.clip(k - offs_r[block_of], 0, rows_per_block - 1)
-    rows = words.T.reshape(n * rows_per_block, ALIGN_W)  # block-major rows
+    start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(mark > 0, k, -1))
+    r_of = jnp.clip(k - start, 0, rows_per_block - 1)
+    rows = words.reshape(n * rows_per_block, ALIGN_W)   # block-major rows
     content4 = jnp.where((k < totr)[:, None],
                          rows[block_of * rows_per_block + r_of], 0)
     return content4.reshape(-1), sizes, total, ok & (totr <= capr)
@@ -229,10 +246,11 @@ def decompress_frame(content4: jnp.ndarray, sizes: jnp.ndarray,
 # files with plain slicing.
 
 
-@functools.partial(jax.jit, static_argnames=("precision",))
+@functools.partial(jax.jit, static_argnames=("precision", "capr_pb"))
 def compress_batch(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                    qt_y: jnp.ndarray, qt_u: jnp.ndarray, qt_v: jnp.ndarray,
-                   precision: str = "exact"):
+                   precision: str = "exact",
+                   capr_pb: int = CAPR_TOTAL_DEFAULT):
     """[B, H, W] (+2x [B, H/2, W/2]) u8 -> (content4, sizes [B*Nf], total
     bytes, ok) — the whole batch compressed on-chip in one executable."""
     b = y.shape[0]
@@ -245,7 +263,7 @@ def compress_batch(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     coeffs = kdev.dct_quantize(blocks, qtab, precision=precision)
     n = coeffs.shape[0]
     words, sizes, ok = _encode_words_dispatch(coeffs.reshape(n, 64))
-    return _compact_words(words, sizes, jnp.all(ok))
+    return _compact_words(words, sizes, jnp.all(ok), capr_pb)
 
 
 @functools.partial(jax.jit,
@@ -306,10 +324,15 @@ def compress_batch_to_streams(planes_np, qtables_np,
     b, h, w = y.shape
     ny = (h // 8) * (w // 8)
     nc = (h // 16) * (w // 16)
-    content4, sizes, total, ok = compress_batch(
-        jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
-        *[jnp.asarray(q) for q in qtables_np], precision=precision)
-    if not bool(ok):
+    content4 = sizes = total = None
+    for capr_pb in (CAPR_TOTAL_DEFAULT, CAPR_TOTAL_ROOMY):
+        content4, sizes, total, ok = compress_batch(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+            *[jnp.asarray(q) for q in qtables_np], precision=precision,
+            capr_pb=capr_pb)
+        if bool(ok):
+            break
+    else:
         raise BitstreamError("device compress overflow/failure")
     sizes_np = np.asarray(sizes).astype(np.int32)
     totalw = int(native._chunk_words(sizes_np, ALIGN_W).sum())
@@ -318,10 +341,12 @@ def compress_batch_to_streams(planes_np, qtables_np,
     return batch_streams_split(sizes_np, packed, b, ny, nc)
 
 
-@functools.partial(jax.jit, static_argnames=("precision",))
+@functools.partial(jax.jit, static_argnames=("precision", "capr_pb"))
 def compress_plane(plane: jnp.ndarray, qtable: jnp.ndarray,
-                   precision: str = "exact"):
-    """[H, W] u8 -> (content4 [N*CAPW] i32, sizes [N] i32, total bytes, ok).
+                   precision: str = "exact",
+                   capr_pb: int = CAPR_TOTAL_DEFAULT):
+    """[H, W] u8 -> (content4 [N*capr_pb*4] i32, sizes [N] i32, total
+    bytes, ok).
 
     The whole forward path on device: blocked DCT + quantization, per-block
     Huffman encode (Pallas word kernel), then gather-compaction into the
@@ -330,7 +355,7 @@ def compress_plane(plane: jnp.ndarray, qtable: jnp.ndarray,
     coeffs = kdev.dct_quantize_plane(plane, qtable, precision=precision)
     n = coeffs.shape[0]
     words, sizes, ok = _encode_words_dispatch(coeffs.reshape(n, 64))
-    return _compact_words(words, sizes, jnp.all(ok))
+    return _compact_words(words, sizes, jnp.all(ok), capr_pb)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "cw", "precision"))
@@ -411,17 +436,34 @@ def compress_frame_to_streams(planes_np, qtables_np,
     h, w = planes_np[0].shape
     ny = (h // 8) * (w // 8)
     nc = (h // 16) * (w // 16)
-    content4, sizes, total, ok = compress_frame(
-        jnp.asarray(planes_np[0]), jnp.asarray(planes_np[1]),
-        jnp.asarray(planes_np[2]), *[jnp.asarray(q) for q in qtables_np],
-        precision=precision)
-    if not bool(ok):
+    content4 = sizes = total = None
+    for capr_pb in (CAPR_TOTAL_DEFAULT, CAPR_TOTAL_ROOMY):
+        content4, sizes, total, ok = compress_frame(
+            jnp.asarray(planes_np[0]), jnp.asarray(planes_np[1]),
+            jnp.asarray(planes_np[2]),
+            *[jnp.asarray(q) for q in qtables_np],
+            precision=precision, capr_pb=capr_pb)
+        if bool(ok):
+            break
+    else:
         raise BitstreamError("device compress overflow/failure")
     sizes_np = np.asarray(sizes).astype(np.int32)
     totalw = int(native._chunk_words(sizes_np, ALIGN_W).sum())
     words_np = pull_words(content4, totalw)
     packed = native.repack_words(words_np, sizes_np, align=ALIGN_W)
     return _split_planes(sizes_np, packed, ny, nc)
+
+
+def _pad_interchange(words_np: np.ndarray, n: int) -> np.ndarray:
+    """Pad expanded interchange words to the smallest static capacity
+    geometry (default, then roomy); raises when even roomy is exceeded."""
+    for capr_pb in (CAPR_TOTAL_DEFAULT, CAPR_TOTAL_ROOMY):
+        capw = n * capr_pb * ALIGN_W
+        if words_np.size <= capw:
+            padded = np.zeros((capw,), np.int32)
+            padded[:words_np.size] = words_np
+            return padded
+    raise BitstreamError("stream larger than device capacity")
 
 
 def decompress_streams_to_frame(streams, qtables_np, h: int, w: int,
@@ -431,12 +473,8 @@ def decompress_streams_to_frame(streams, qtables_np, h: int, w: int,
     sizes_np = np.concatenate([s.astype(np.int32) for s, _ in streams])
     content_np = np.concatenate([c for _, c in streams])
     n = sizes_np.shape[0]
-    capw = n * CAPW_PER_BLOCK
     words_np = native.expand_words(content_np, sizes_np, align=ALIGN_W)
-    if words_np.size > capw:
-        raise BitstreamError("stream larger than device capacity")
-    padded = np.zeros((capw,), np.int32)
-    padded[:words_np.size] = words_np
+    padded = _pad_interchange(words_np, n)
     cw = 16 if int(sizes_np.max(initial=0)) <= 64 else 64
     y, u, v, ok = decompress_frame(
         jnp.asarray(padded), jnp.asarray(sizes_np),
@@ -455,9 +493,14 @@ def compress_plane_to_stream(plane_np: np.ndarray, qtable_np: np.ndarray,
     native host encoder).
     """
     from .. import native
-    content4, sizes, total, ok = compress_plane(
-        jnp.asarray(plane_np), jnp.asarray(qtable_np), precision=precision)
-    if not bool(ok):
+    content4 = sizes = None
+    for capr_pb in (CAPR_TOTAL_DEFAULT, CAPR_TOTAL_ROOMY):
+        content4, sizes, total, ok = compress_plane(
+            jnp.asarray(plane_np), jnp.asarray(qtable_np),
+            precision=precision, capr_pb=capr_pb)
+        if bool(ok):
+            break
+    else:
         raise BitstreamError("device compress overflow/failure")
     sizes_np = np.asarray(sizes).astype(np.int32)
     totalw = int(native._chunk_words(sizes_np, ALIGN_W).sum())
@@ -472,13 +515,9 @@ def decompress_stream_to_plane(sizes_np: np.ndarray, content_np: np.ndarray,
     """Host API: ragged stream -> [H, W] u8 plane (pulled to host)."""
     from .. import native
     n = sizes_np.shape[0]
-    capw = n * CAPW_PER_BLOCK
     sizes_i32 = sizes_np.astype(np.int32)
     words_np = native.expand_words(content_np, sizes_i32, align=ALIGN_W)
-    if words_np.size > capw:
-        raise BitstreamError("stream larger than device capacity")
-    padded = np.zeros((capw,), np.int32)
-    padded[:words_np.size] = words_np
+    padded = _pad_interchange(words_np, n)
     cw = 16 if int(sizes_i32.max(initial=0)) <= 64 else 64
     plane, ok = decompress_plane(
         jnp.asarray(padded), jnp.asarray(sizes_i32),

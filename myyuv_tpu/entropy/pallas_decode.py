@@ -34,6 +34,7 @@ host decoder, so decoding is never silently wrong.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +44,8 @@ from jax.experimental import pallas as pl
 from .reference import ZIGZAG
 
 I32 = jnp.int32
-TILE = 1024
+# blocks per grid program; see pallas_encode.TILE
+TILE = int(os.environ.get("MYYUV_DEC_TILE", "1024"))
 WORDS = 64          # 256 chunk bytes = 64 packed words
 
 

@@ -34,6 +34,7 @@ against the compiled reference CLI both directions).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +44,9 @@ from jax.experimental import pallas as pl
 from .reference import ZIGZAG
 
 I32 = jnp.int32
-TILE = 1024
+# blocks per grid program; sequential-loop overhead is width-independent
+# (measured), so wider tiles amortize it — bounded by VMEM (~16 MB/core)
+TILE = int(os.environ.get("MYYUV_ENC_TILE", "1024"))
 BIG = 1 << 29
 
 
@@ -110,8 +113,8 @@ def _row(x, r, iota):
 
 def _encode_kernel(msg_ref, words_ref, size_ref, ok_ref):
     """msg [64, TILE] i32 zigzag-ordered coefficients ->
-    words [64, TILE] i32 (bit-reversed big-endian packed stream),
-    size [1, TILE] i32 chunk bytes, ok [1, TILE] i32."""
+    words [TILE, 64] i32 (bit-reversed big-endian packed stream,
+    block-major), size [1, TILE] i32 chunk bytes, ok [1, TILE] i32."""
     msg = msg_ref[...]
     iota64 = jax.lax.broadcasted_iota(I32, (64, TILE), 0)
 
@@ -355,15 +358,19 @@ def _encode_kernel(msg_ref, words_ref, size_ref, ok_ref):
     W0, nb, wi, regfile = st
     regfile = jnp.where(iota64 == wi, W0, regfile)    # final flush
 
-    words_ref[...] = regfile
+    # emit block-major [TILE, 64]: the in-VMEM transpose saves the
+    # downstream XLA relayout (11 ms/4K frame) the stream compaction
+    # otherwise pays to get block-contiguous rows
+    words_ref[...] = regfile.T
     size_ref[...] = size
     ok_ref[...] = ok
 
 
 def _unpack_words(words: jnp.ndarray) -> jnp.ndarray:
-    """[64, N] i32 packed words -> [N, 256] u8 lanes (inverse of the
-    decoder's _pack_words: big-endian byte split + bitrev)."""
-    w = words.T                                       # [N, 64]
+    """[N, 64] i32 packed words (block-major) -> [N, 256] u8 lanes
+    (inverse of the decoder's _pack_words: big-endian byte split +
+    bitrev)."""
+    w = words
     parts = [_bitrev8((w >> sh) & 0xFF).astype(jnp.uint8)
              for sh in (24, 16, 8, 0)]
     return jnp.stack(parts, axis=-1).reshape(w.shape[0], 256)
@@ -371,14 +378,15 @@ def _unpack_words(words: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def encode_words(coeffs: jnp.ndarray, interpret: bool = False):
-    """[N, 64] int16 coefficients -> ([64, N] i32 packed words, [N] sizes,
-    [N] ok).
+    """[N, 64] int16 coefficients -> ([N, 64] i32 packed words
+    block-major, [N] sizes, [N] ok).
 
     Words are in the kernel stream space (bit-reversed bytes packed
     big-endian) — exactly what the Pallas decoder consumes and what the
     word-aligned device interchange stores; the byte-exact on-disk stream
     is one cheap elementwise conversion away (native repack or
-    _unpack_words)."""
+    _unpack_words). Block-major layout so the downstream compaction reads
+    chunk rows without a relayout."""
     n = coeffs.shape[0]
     zz = jnp.asarray(np.asarray(ZIGZAG, np.int32))
     msg = coeffs.astype(I32)[:, zz]                   # [N, 64] zigzag order
@@ -389,17 +397,17 @@ def encode_words(coeffs: jnp.ndarray, interpret: bool = False):
     grid = (msgT.shape[1] // TILE,)
     words, size, ok = pl.pallas_call(
         _encode_kernel,
-        out_shape=(jax.ShapeDtypeStruct((64, msgT.shape[1]), I32),
+        out_shape=(jax.ShapeDtypeStruct((msgT.shape[1], 64), I32),
                    jax.ShapeDtypeStruct((1, msgT.shape[1]), I32),
                    jax.ShapeDtypeStruct((1, msgT.shape[1]), I32)),
         grid=grid,
         in_specs=[pl.BlockSpec((64, TILE), lambda i: (0, i))],
-        out_specs=(pl.BlockSpec((64, TILE), lambda i: (0, i)),
+        out_specs=(pl.BlockSpec((TILE, 64), lambda i: (i, 0)),
                    pl.BlockSpec((1, TILE), lambda i: (0, i)),
                    pl.BlockSpec((1, TILE), lambda i: (0, i))),
         interpret=interpret,
     )(msgT)
-    return words[:, :n], size[0, :n], ok[0, :n] != 0
+    return words[:n], size[0, :n], ok[0, :n] != 0
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

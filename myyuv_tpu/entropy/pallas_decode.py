@@ -165,11 +165,17 @@ def _tree_kernel(words_ref, meta_ref, rec_ref, counts_ref, bad_ref):
 
 def _payload_kernel(words_ref, meta_ref, rec_ref, counts_ref, tbad_ref,
                     zz_ref, out_ref, ok_ref):
-    """Canonical payload decode: 64 lockstep symbol steps."""
+    """Canonical payload decode: lockstep symbol steps.
+
+    The per-step cost is dominated by one-hot ops over the symbol table
+    rows, so the table height specializes at runtime: parse order packs
+    the symbols into the low rows, and a tile whose largest tree has
+    <= SMALL_ROWS symbols (virtually every q<=85 tile) runs the match
+    over a [SMALL_ROWS, TILE] slice via lax.cond (~3x less table work
+    per step)."""
     R = words_ref[...]
     enc_bits = meta_ref[0:1, :]
     tree_size = meta_ref[1:2, :]
-    rec = rec_ref[...]
     counts = counts_ref[...]
 
     cw = words_ref.shape[0]
@@ -177,11 +183,6 @@ def _payload_kernel(words_ref, meta_ref, rec_ref, counts_ref, tbad_ref,
     iota64 = jax.lax.broadcasted_iota(I32, (64, TILE), 0)
     iota9 = jax.lax.broadcasted_iota(I32, (9, TILE), 0)
     consume = _make_consume(R, iota_w)
-
-    lenstore = rec >> 17
-    rankstore = (rec >> 11) & 63
-    v11s = rec & 0x7FF
-    symstore = jnp.where(v11s >= 1024, v11s - 2048, v11s)
 
     # canonical first_code per length: first[l+1] = (first[l]+count[l])<<1
     fc_list = [jnp.zeros((1, TILE), I32), jnp.zeros((1, TILE), I32)]
@@ -199,54 +200,76 @@ def _payload_kernel(words_ref, meta_ref, rec_ref, counts_ref, tbad_ref,
     B = jnp.sum(jnp.where(iota_w == w0i + 1, R, 0), axis=0, keepdims=True)
     W0 = _shl(A, sh) | _shr_l(B, 32 - sh)
     W1 = _shl(B, sh)
-    st = (W0, W1, 64 - sh, w0i + 2)
+    st0 = (W0, W1, 64 - sh, w0i + 2)
 
     iota64_1 = jax.lax.broadcasted_iota(I32, (64, 1), 0)
-    coeffs = jnp.zeros((64, TILE), I32)
-    bitpos = jnp.zeros((1, TILE), I32)
-    bad = tbad_ref[...]
+    bad0 = tbad_ref[...]
+    n_sym = jnp.sum(counts, axis=0, keepdims=True)     # parse stores rows
+    nmax_sym = jnp.max(n_sym)
 
-    def sym_cond(carry):
-        # run until every lane has either consumed its payload or gone
-        # bad (bad lanes stop advancing bitpos, so they must not hold the
-        # loop open); p < 64 is the format bound either way
-        p, st, coeffs, bitpos, bad = carry
-        live = (bitpos < enc_bits) & (bad == 0)
-        return (p < 64) & (jnp.max(live.astype(I32)) > 0)
+    def run(rows):
+        rec = rec_ref[:rows, :]
+        iota_r = jax.lax.broadcasted_iota(I32, (rows, TILE), 0)
+        # packed (len<<6 | rank) key: ONE table compare per step
+        keystore = ((rec >> 17) << 6) | ((rec >> 11) & 63)
+        keystore = jnp.where(iota_r < n_sym, keystore, -1)
+        v11s = rec & 0x7FF
+        symstore = jnp.where(v11s >= 1024, v11s - 2048, v11s)
 
-    def sym_step(carry):
-        p, st, coeffs, bitpos, bad = carry
-        W0 = st[0]
-        active = bitpos < enc_bits
-        peek = _shr_l(W0, 24) & 0xFF
-        length = jnp.full((1, TILE), 9, I32)
-        code = jnp.zeros((1, TILE), I32)
-        for L in range(8, 0, -1):
-            cL = peek >> (8 - L)
-            hit = cL < first_code[L:L + 1, :] + counts[L:L + 1, :]
-            length = jnp.where(hit, L, length)
-            code = jnp.where(hit, cL, code)
-        idx = code - jnp.sum(
-            jnp.where(iota9 == length, first_code, 0), axis=0, keepdims=True)
-        match = (lenstore == length) & (rankstore == idx)
-        # an empty (length, rank) match is an out-of-table code -> bad
-        # row, not a silent symbol 0 (ADVICE round 1)
-        nmatch = jnp.sum(match.astype(I32), axis=0, keepdims=True)
-        ok_sym = (length <= 8) & (bitpos + length <= enc_bits) & (nmatch > 0)
-        sym = jnp.sum(jnp.where(match, symstore, 0), axis=0, keepdims=True)
-        write = active & ok_sym
-        zzp = jnp.sum(jnp.where(iota64_1 == p, zz_ref[...], 0),
-                      axis=0, keepdims=True)        # [1, 1]
-        sel = iota64 == zzp
-        coeffs = jnp.where(sel & write, sym, coeffs)
-        bad = bad | (active & ~ok_sym).astype(I32)
-        adv = jnp.where(write, length, 0)
-        bitpos = bitpos + adv
-        st = consume(st, adv)
-        return p + 1, st, coeffs, bitpos, bad
+        def sym_cond(carry):
+            # run until every lane has either consumed its payload or
+            # gone bad (bad lanes stop advancing bitpos, so they must
+            # not hold the loop open); p < 64 is the format bound
+            p, st, coeffs, bitpos, bad = carry
+            live = (bitpos < enc_bits) & (bad == 0)
+            return (p < 64) & (jnp.max(live.astype(I32)) > 0)
 
-    _, st, coeffs, bitpos, bad = jax.lax.while_loop(
-        sym_cond, sym_step, (0, st, coeffs, bitpos, bad))
+        def sym_step(carry):
+            p, st, coeffs, bitpos, bad = carry
+            W0 = st[0]
+            active = bitpos < enc_bits
+            peek = _shr_l(W0, 24) & 0xFF
+            length = jnp.full((1, TILE), 9, I32)
+            code = jnp.zeros((1, TILE), I32)
+            for L in range(8, 0, -1):
+                cL = peek >> (8 - L)
+                hit = cL < first_code[L:L + 1, :] + counts[L:L + 1, :]
+                length = jnp.where(hit, L, length)
+                code = jnp.where(hit, cL, code)
+            idx = code - jnp.sum(
+                jnp.where(iota9 == length, first_code, 0),
+                axis=0, keepdims=True)
+            match = keystore == ((length << 6) | (idx & 63))
+            # an empty (length, rank) match is an out-of-table code ->
+            # bad row, not a silent symbol 0 (ADVICE round 1); the
+            # explicit idx range check keeps a wrapped (idx & 63) or
+            # sign-extended idx from matching anything silently
+            nmatch = jnp.sum(match.astype(I32), axis=0, keepdims=True)
+            ok_sym = (length <= 8) & (idx >= 0) & (idx < 64) \
+                & (bitpos + length <= enc_bits) & (nmatch > 0)
+            sym = jnp.sum(jnp.where(match, symstore, 0),
+                          axis=0, keepdims=True)
+            write = active & ok_sym
+            zzp = jnp.sum(jnp.where(iota64_1 == p, zz_ref[...], 0),
+                          axis=0, keepdims=True)        # [1, 1]
+            sel = iota64 == zzp
+            coeffs = jnp.where(sel & write, sym, coeffs)
+            bad = bad | (active & ~ok_sym).astype(I32)
+            adv = jnp.where(write, length, 0)
+            bitpos = bitpos + adv
+            st = consume(st, adv)
+            return p + 1, st, coeffs, bitpos, bad
+
+        carry0 = (0, st0, jnp.zeros((64, TILE), I32),
+                  jnp.zeros((1, TILE), I32), bad0)
+        _, st, coeffs, bitpos, bad = jax.lax.while_loop(
+            sym_cond, sym_step, carry0)
+        return coeffs, bitpos, bad
+
+    SMALL_ROWS = 16
+    coeffs, bitpos, bad = jax.lax.cond(
+        nmax_sym <= SMALL_ROWS,
+        lambda: run(SMALL_ROWS), lambda: run(64))
     bad = bad | (bitpos != enc_bits).astype(I32)
 
     out_ref[...] = coeffs.astype(jnp.int16)

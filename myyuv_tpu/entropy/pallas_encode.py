@@ -88,21 +88,25 @@ def _shift_up(x, j):
                            axis=0)
 
 
-def _bitonic64(key, iota64):
-    """Ascending bitonic sort of the 64 rows, elementwise per lane.
+def _bitonic(key, iota):
+    """Ascending bitonic sort of the rows, elementwise per lane.
 
     Partner x[r^j]: for rows with bit j clear it is x[r+j], else x[r-j]
-    (both static shifts); the pad rows are never selected.
+    (both static shifts); the pad rows are never selected. Row count is
+    key.shape[0] (a power of two).
     """
-    for k in (2, 4, 8, 16, 32, 64):
+    rows = key.shape[0]
+    k = 2
+    while k <= rows:
         j = k >> 1
         while j >= 1:
-            partner = jnp.where((iota64 & j) == 0, _shift_up(key, j),
+            partner = jnp.where((iota & j) == 0, _shift_up(key, j),
                                 _shift_down(key, j))
-            keep_min = ((iota64 & k) == 0) == ((iota64 & j) == 0)
+            keep_min = ((iota & k) == 0) == ((iota & j) == 0)
             key = jnp.where(keep_min, jnp.minimum(key, partner),
                             jnp.maximum(key, partner))
             j >>= 1
+        k <<= 1
     return key
 
 
@@ -131,7 +135,7 @@ def _encode_kernel(msg_ref, words_ref, size_ref, ok_ref):
     # (count, symbol) multiset is identical, so the canonical output is
     # byte-identical.
     vals = jnp.where(validall, msg + 1024, BIG)       # 11-bit symbol space
-    svals = _bitonic64(vals, iota64)
+    svals = _bitonic(vals, iota64)
     valid_s = svals < BIG
     prevv = _shift_down(svals, 1)
     run_start0 = valid_s & ((iota64 == 0) | (svals != prevv))
@@ -146,217 +150,236 @@ def _encode_kernel(msg_ref, words_ref, size_ref, ok_ref):
     cnt0 = nxt0 - iota64                              # valid at run starts
     n_sym = jnp.sum(run_start0.astype(I32), axis=0, keepdims=True)
 
-    # ---- leaf sort by (count, symbol) -----------------------------------
-    leafkey = jnp.where(run_start0, cnt0 * 4096 + svals, BIG)
-    leafkey = _bitonic64(leafkey, iota64)
-    in_rows = iota64 < n_sym
-    leafw = jnp.where(in_rows, leafkey >> 12, BIG)    # counts, sorted
-    leafsym = jnp.where(in_rows, (leafkey & 4095) - 1024, 0)
-
-    # ---- two-queue Huffman merge ----------------------------------------
-    # Sequential loop steps are the kernel's cost unit (~0.3 us each
-    # regardless of array width, measured), so every loop runs to the
-    # TILE-wide data maximum, not the worst case: nmax-1 merge steps
-    # instead of 63 (q50 images top out at n_sym ~16, mean ~3). Parent
-    # pointers split into leaf/interior halves so the depth sweep touches
-    # [64, TILE] arrays only.
+    # ---- symbol-table-sized tail under a runtime size cond --------------
+    # Everything from the leaf sort on only touches rows < n_sym, and at
+    # q50 93% of 1024-block tiles top out at n_sym <= 16 (max observed
+    # 19), so the whole tail specializes on the tile-max: lax.cond picks
+    # a [16, TILE] variant (one-hot reads/writes and the canonical
+    # bitonic are 3-4x cheaper) or the general [64, TILE] one.
     nmax = jnp.max(n_sym)                             # scalar loop bound
-
-    def pick(state):
-        lh, ih, it, intw, active = state
-        lw = _row(leafw, lh, iota64)
-        iw = _row(intw, ih, iota64)
-        leaf_has = lh < n_sym
-        int_has = ih < it
-        take_leaf = leaf_has & (~int_has | (lw <= iw))
-        w = jnp.where(take_leaf, lw, iw)
-        node = jnp.where(take_leaf, lh, 64 + ih)
-        lh = lh + (take_leaf & active).astype(I32)
-        ih = ih + (~take_leaf & active).astype(I32)
-        return (lh, ih, it, intw, active), w, node
-
-    def merge_body(s, carry):
-        lh, ih, it, intw, parentL, parentI = carry
-        active = it < n_sym - 1
-        st = (lh, ih, it, intw, active)
-        st, w1, node1 = pick(st)
-        st, w2, node2 = pick(st)
-        lh, ih, it, intw, _ = st
-        new_id = 64 + it
-        n1 = jnp.where(active, node1, 999)            # sentinel off-range
-        n2 = jnp.where(active, node2, 999)
-        parentL = jnp.where(iota64 == n1, new_id, parentL)
-        parentL = jnp.where(iota64 == n2, new_id, parentL)
-        parentI = jnp.where(iota64 == n1 - 64, new_id, parentI)
-        parentI = jnp.where(iota64 == n2 - 64, new_id, parentI)
-        intw = jnp.where((iota64 == it) & active, w1 + w2, intw)
-        it = it + active.astype(I32)
-        return lh, ih, it, intw, parentL, parentI
-
-    zero1 = jnp.zeros((1, TILE), I32)
-    zero64 = jnp.zeros((64, TILE), I32)
-    lh, ih, it, intw, parentL, parentI = jax.lax.fori_loop(
-        0, nmax - 1, merge_body,
-        (zero1, zero1, zero1, jnp.full((64, TILE), BIG, I32),
-         zero64, zero64))
-
-    # ---- depth sweep: write-based top-down propagation -----------------
-    # Interior ids descend from the tile-max root 64+nmax-2; every node's
-    # parent has a larger id, so when step nid runs, its own depth is
-    # final (roots keep the zero init: a root is never consumed, so its
-    # parentI entry stays 0, below the id range). Each step: one one-hot
-    # row read + two masked [64, TILE] child writes. Untouched rows keep
-    # depth 0 and are masked by in_rows downstream.
-    def depth_body(i, carry):
-        depthI, leafd = carry
-        nid = 64 + nmax - 2 - i
-        d = _row(depthI, nid - 64, iota64) + 1        # [1, TILE]
-        depthI = jnp.where(parentI == nid, d, depthI)
-        leafd = jnp.where(parentL == nid, d, leafd)
-        return depthI, leafd
-
-    _, leafd = jax.lax.fori_loop(0, nmax - 1, depth_body, (zero64, zero64))
-    leaf_len = jnp.where(n_sym == 1, 1, leafd)        # per sorted-leaf row
-
-    # ---- canonical (len, sym) order + Kraft codes ----------------------
-    key2 = jnp.where(in_rows, leaf_len * 4096 + leafsym + 1024, BIG)
-    key2 = _bitonic64(key2, iota64)
-    len_c = jnp.where(in_rows, key2 >> 12, 0)
-    sym_c = jnp.where(in_rows, (key2 & 4095) - 1024, 0)
-    ok = jnp.min(jnp.where(in_rows, (len_c >= 1) & (len_c <= 8), 1)
-                 .astype(I32), axis=0, keepdims=True)
-
-    lc = jnp.clip(len_c, 1, 8)
-    kraft = jnp.where(in_rows, 1 << (8 - lc), 0)
-    incl = kraft
-    for s in (1, 2, 4, 8, 16, 32):
-        incl = incl + _shift_down(incl, s)
-    code_c = (incl - kraft) >> (8 - lc)               # exclusive prefix
-
-    # ---- per-message-position (len, code) lookup -----------------------
-    # one composite one-hot read per step (len 4b | code 8b | sym11 11b)
-    # instead of three separate row reads
-    canrec = (jnp.clip(len_c, 0, 8) << 19) | ((code_c & 0xFF) << 11) \
-        | (sym_c & 0x7FF)
     msg11 = msg & 0x7FF
-
-    def lut_body(c, carry):
-        plen, pcode = carry
-        rec = _row(canrec, c, iota64)
-        match = (msg11 == (rec & 0x7FF)) & (c < n_sym)
-        plen = jnp.where(match, (rec >> 19) & 15, plen)
-        pcode = jnp.where(match, (rec >> 11) & 0xFF, pcode)
-        return plen, pcode
-
-    plen, pcode = jax.lax.fori_loop(
-        0, nmax, lut_body,
-        (jnp.zeros((64, TILE), I32), jnp.zeros((64, TILE), I32)))
-    enc_bits = jnp.sum(jnp.where(validall, plen, 0), axis=0, keepdims=True)
-
-    # ---- group structure over canonical rows (Huffman.cpp:300-316) -----
-    prev_len = _shift_down(len_c, 1) + jnp.where(iota64 == 0, -1, 0)
-    run_start = in_rows & (len_c != prev_len)
-    # last run start at or before each row: log-scan running max
-    lrs = jnp.where(run_start, iota64, -1)
-    for s in (1, 2, 4, 8, 16, 32):
-        lrs = jnp.maximum(lrs, _shift_down(lrs, s) +
-                          jnp.where(iota64 < s, -64, 0))
-    idx_in_run = iota64 - lrs
-    grp_start = in_rows & (run_start | ((idx_in_run & 31) == 0))
-    # next boundary strictly after each row (run start or end of table):
-    # reverse running min over shifted-up boundary positions
-    bpos = jnp.where(run_start | ~in_rows, iota64, 99)
-    nxt = _shift_up(bpos, 1) + jnp.where(iota64 >= 63, 99, 0)
-    for s in (1, 2, 4, 8, 16, 32):
-        nxt = jnp.minimum(nxt, _shift_up(nxt, s) +
-                          jnp.where(iota64 >= 64 - s, 99, 0))
-    nxt = jnp.minimum(nxt, 64)
-    gcnt = jnp.minimum(nxt, iota64 + 32) - iota64      # valid at grp_start
-    grp_bytes = jnp.where(grp_start, 1 + (gcnt * 11 + 7) // 8, 0)
-    tree_size = jnp.sum(grp_bytes, axis=0, keepdims=True)
-    size = 3 + tree_size + (enc_bits + 7) // 8
-    ok = ok & (size <= 255).astype(I32)
-
-    # composite per-row tree record for one one-hot read per loop step:
-    # grp_start(1b)<<28 | in_rows(1b)<<27 | gcnt(6b)<<21 | len(4b)<<17 |
-    # (sym+1024)(11b)
-    tree_rec = (grp_start.astype(I32) << 28) | (in_rows.astype(I32) << 27) \
-        | (jnp.clip(gcnt, 0, 63) << 21) | (lc << 17) | (sym_c & 0x7FF)
-    # composite payload record: valid(1b)<<12 | len(4b)<<8 | code(8b)
-    pay_rec = (validall.astype(I32) << 12) | (jnp.clip(plen, 0, 8) << 8) \
-        | (pcode & 0xFF)
-
-    # ---- serialization: sequential bit-append machine -------------------
-    # Stream space matches the decoder's: bit-reversed bytes packed
-    # big-endian into words, appends fill each word from the MSB down.
-    def append(state, v, L):
-        """Append the L-bit value v (MSB-first in stream space); L may be
-        0 (no-op) and varies per lane."""
-        W0, nb, wi, regfile = state
-        v = jnp.where(L > 0, v, 0)
-        sh = 32 - nb - L
-        # both branches evaluate: clamp the shift amounts non-negative
-        W0 = W0 | jnp.where(sh >= 0, _shl(v, jnp.maximum(sh, 0)),
-                            _shr_l(v, jnp.maximum(-sh, 0)))
-        newnb = nb + L
-        spill = newnb >= 32
-        regfile = jnp.where((iota64 == wi) & spill, W0, regfile)
-        W0 = jnp.where(spill, _shl(v, 64 - newnb), W0)
-        wi = wi + spill.astype(I32)
-        nb = jnp.where(spill, newnb - 32, newnb)
-        return W0, nb, wi, regfile
-
-    st = (jnp.zeros((1, TILE), I32), jnp.zeros((1, TILE), I32),
-          jnp.zeros((1, TILE), I32), jnp.zeros((64, TILE), I32))
-    # 3-byte header as ONE 24-bit append (same bit sequence as 3 bytes)
-    hdr24 = (_bitrev8(enc_bits & 0xFF) << 16) \
-        | (_bitrev8(_shr_l(enc_bits, 8) & 0xFF) << 8) \
-        | _bitrev8(tree_size & 0xFF)
-    st = append(st, hdr24, jnp.full((1, TILE), 24, I32))
-
-    def tree_body(c, st):
-        # one fused append per canonical row: [pad zeros][group hdr][sym]
-        # (<= 7+8+11 = 26 bits; the leading pad bits of the field are 0)
-        rec = _row(tree_rec, c, iota64)
-        g_start = (rec >> 28) & 1
-        in_r = (rec >> 27) & 1
-        gc = (rec >> 21) & 63
-        ln = (rec >> 17) & 15
-        v11 = rec & 0x7FF
-        nb = st[1]
-        pad = (8 - (nb & 7)) & 7
-        hdr = _bitrev8(((ln - 1) << 5) | (gc - 1))
-        v = jnp.where(in_r > 0, _bitrev11(v11), 0)
-        v = v | jnp.where(g_start > 0, hdr << (in_r * 11), 0)
-        L = g_start * (pad + 8) + in_r * 11
-        return append(st, v, L)
-
-    st = jax.lax.fori_loop(0, nmax, tree_body, st)
-    # close the last group to its byte boundary
-    W0, nb, wi, regfile = st
-    st = append((W0, nb, wi, regfile), jnp.zeros((1, TILE), I32),
-                (8 - (nb & 7)) & 7)
-
-    # payload rows appended in PAIRS: row 2p's code ahead of row 2p+1's
-    # in one <=16-bit append — halves the sequential step count. Pairing
-    # in place (row 2p holds the pair) keeps sublane shapes static.
-    nxt_rec = _shift_up(pay_rec, 1)
-    v0_ok = ((pay_rec >> 12) & 1) > 0
-    v1_ok = ((nxt_rec >> 12) & 1) > 0
-    l0 = jnp.where(v0_ok, (pay_rec >> 8) & 15, 0)
-    l1 = jnp.where(v1_ok, (nxt_rec >> 8) & 15, 0)
-    c0 = jnp.where(v0_ok, pay_rec & 0xFF, 0)
-    c1 = jnp.where(v1_ok, nxt_rec & 0xFF, 0)
-    pair_rec = ((l0 + l1) << 16) | ((_shl(c0, l1) | c1) & 0xFFFF)
-
-    def pay_body(p, st):
-        rec = _row(pair_rec, 2 * p, iota64)
-        return append(st, rec & 0xFFFF, rec >> 16)
-
     mlenmax = jnp.max(mlen)
-    st = jax.lax.fori_loop(0, (mlenmax + 1) // 2, pay_body, st)
-    W0, nb, wi, regfile = st
-    regfile = jnp.where(iota64 == wi, W0, regfile)    # final flush
+
+    def tail(rows):
+        iota_r = jax.lax.broadcasted_iota(I32, (rows, TILE), 0)
+        in_rows = iota_r < n_sym
+
+        # ---- leaf sort by (count, symbol) -------------------------------
+        leafkey0 = jnp.where(run_start0, cnt0 * 4096 + svals, BIG)
+        leafkey = _bitonic(leafkey0, iota64)[:rows]
+        leafw = jnp.where(in_rows, leafkey >> 12, BIG)   # counts, sorted
+        leafsym = jnp.where(in_rows, (leafkey & 4095) - 1024, 0)
+
+        # ---- two-queue Huffman merge ------------------------------------
+        # Sequential loop steps are the kernel's cost unit, so every loop
+        # runs to the TILE-wide data maximum, not the worst case: nmax-1
+        # merge steps instead of 63. Parent pointers split into
+        # leaf/interior halves so the depth sweep touches [rows, TILE]
+        # arrays only.
+        def pick(state):
+            lh, ih, it, intw, active = state
+            lw = _row(leafw, lh, iota_r)
+            iw = _row(intw, ih, iota_r)
+            leaf_has = lh < n_sym
+            int_has = ih < it
+            take_leaf = leaf_has & (~int_has | (lw <= iw))
+            w = jnp.where(take_leaf, lw, iw)
+            node = jnp.where(take_leaf, lh, 64 + ih)
+            lh = lh + (take_leaf & active).astype(I32)
+            ih = ih + (~take_leaf & active).astype(I32)
+            return (lh, ih, it, intw, active), w, node
+
+        def merge_body(s, carry):
+            lh, ih, it, intw, parentL, parentI = carry
+            active = it < n_sym - 1
+            st = (lh, ih, it, intw, active)
+            st, w1, node1 = pick(st)
+            st, w2, node2 = pick(st)
+            lh, ih, it, intw, _ = st
+            new_id = 64 + it
+            n1 = jnp.where(active, node1, 999)        # sentinel off-range
+            n2 = jnp.where(active, node2, 999)
+            parentL = jnp.where(iota_r == n1, new_id, parentL)
+            parentL = jnp.where(iota_r == n2, new_id, parentL)
+            parentI = jnp.where(iota_r == n1 - 64, new_id, parentI)
+            parentI = jnp.where(iota_r == n2 - 64, new_id, parentI)
+            intw = jnp.where((iota_r == it) & active, w1 + w2, intw)
+            it = it + active.astype(I32)
+            return lh, ih, it, intw, parentL, parentI
+
+        zero1 = jnp.zeros((1, TILE), I32)
+        zeroR = jnp.zeros((rows, TILE), I32)
+        lh, ih, it, intw, parentL, parentI = jax.lax.fori_loop(
+            0, nmax - 1, merge_body,
+            (zero1, zero1, zero1, jnp.full((rows, TILE), BIG, I32),
+             zeroR, zeroR))
+
+        # ---- depth sweep: write-based top-down propagation --------------
+        # Interior ids descend from the tile-max root 64+nmax-2; every
+        # node's parent has a larger id, so when step nid runs, its own
+        # depth is final (roots keep the zero init: a root is never
+        # consumed, so its parentI entry stays 0, below the id range).
+        def depth_body(i, carry):
+            depthI, leafd = carry
+            nid = 64 + nmax - 2 - i
+            d = _row(depthI, nid - 64, iota_r) + 1    # [1, TILE]
+            depthI = jnp.where(parentI == nid, d, depthI)
+            leafd = jnp.where(parentL == nid, d, leafd)
+            return depthI, leafd
+
+        _, leafd = jax.lax.fori_loop(0, nmax - 1, depth_body,
+                                     (zeroR, zeroR))
+        leaf_len = jnp.where(n_sym == 1, 1, leafd)    # per sorted-leaf row
+
+        # ---- canonical (len, sym) order + Kraft codes -------------------
+        key2 = jnp.where(in_rows, leaf_len * 4096 + leafsym + 1024, BIG)
+        key2 = _bitonic(key2, iota_r)
+        len_c = jnp.where(in_rows, key2 >> 12, 0)
+        sym_c = jnp.where(in_rows, (key2 & 4095) - 1024, 0)
+        ok = jnp.min(jnp.where(in_rows, (len_c >= 1) & (len_c <= 8), 1)
+                     .astype(I32), axis=0, keepdims=True)
+
+        lc = jnp.clip(len_c, 1, 8)
+        kraft = jnp.where(in_rows, 1 << (8 - lc), 0)
+        incl = kraft
+        s = 1
+        while s < rows:
+            incl = incl + _shift_down(incl, s)
+            s <<= 1
+        code_c = (incl - kraft) >> (8 - lc)           # exclusive prefix
+
+        # ---- per-message-position (len, code) lookup --------------------
+        # one composite one-hot read per step (len 4b | code 8b | sym11)
+        canrec = (jnp.clip(len_c, 0, 8) << 19) | ((code_c & 0xFF) << 11) \
+            | (sym_c & 0x7FF)
+
+        def lut_body(c, carry):
+            plen, pcode = carry
+            rec = _row(canrec, c, iota_r)
+            match = (msg11 == (rec & 0x7FF)) & (c < n_sym)
+            plen = jnp.where(match, (rec >> 19) & 15, plen)
+            pcode = jnp.where(match, (rec >> 11) & 0xFF, pcode)
+            return plen, pcode
+
+        plen, pcode = jax.lax.fori_loop(
+            0, nmax, lut_body,
+            (jnp.zeros((64, TILE), I32), jnp.zeros((64, TILE), I32)))
+        enc_bits = jnp.sum(jnp.where(validall, plen, 0),
+                           axis=0, keepdims=True)
+
+        # ---- group structure over canonical rows (Huffman.cpp:300-316) --
+        prev_len = _shift_down(len_c, 1) + jnp.where(iota_r == 0, -1, 0)
+        run_start = in_rows & (len_c != prev_len)
+        # last run start at or before each row: log-scan running max
+        lrs = jnp.where(run_start, iota_r, -1)
+        s = 1
+        while s < rows:
+            lrs = jnp.maximum(lrs, _shift_down(lrs, s) +
+                              jnp.where(iota_r < s, -64, 0))
+            s <<= 1
+        idx_in_run = iota_r - lrs
+        grp_start = in_rows & (run_start | ((idx_in_run & 31) == 0))
+        # next boundary strictly after each row (run start or table end):
+        # reverse running min over shifted-up boundary positions
+        bpos = jnp.where(run_start | ~in_rows, iota_r, 99)
+        nxt = _shift_up(bpos, 1) + jnp.where(iota_r >= rows - 1, 99, 0)
+        s = 1
+        while s < rows:
+            nxt = jnp.minimum(nxt, _shift_up(nxt, s) +
+                              jnp.where(iota_r >= rows - s, 99, 0))
+            s <<= 1
+        nxt = jnp.minimum(nxt, rows)
+        gcnt = jnp.minimum(nxt, iota_r + 32) - iota_r  # valid at grp_start
+        grp_bytes = jnp.where(grp_start, 1 + (gcnt * 11 + 7) // 8, 0)
+        tree_size = jnp.sum(grp_bytes, axis=0, keepdims=True)
+        size = 3 + tree_size + (enc_bits + 7) // 8
+        ok = ok & (size <= 255).astype(I32)
+
+        # composite per-row tree record for one one-hot read per step:
+        # grp_start(1b)<<28 | in_rows(1b)<<27 | gcnt(6b)<<21 |
+        # len(4b)<<17 | (sym+1024)(11b)
+        tree_rec = (grp_start.astype(I32) << 28) \
+            | (in_rows.astype(I32) << 27) \
+            | (jnp.clip(gcnt, 0, 63) << 21) | (lc << 17) | (sym_c & 0x7FF)
+        # composite payload record: valid(1b)<<12 | len(4b)<<8 | code(8b)
+        pay_rec = (validall.astype(I32) << 12) \
+            | (jnp.clip(plen, 0, 8) << 8) | (pcode & 0xFF)
+
+        # ---- serialization: sequential bit-append machine ---------------
+        # Stream space matches the decoder's: bit-reversed bytes packed
+        # big-endian into words, appends fill each word from the MSB down.
+        def append(state, v, L):
+            """Append the L-bit value v (MSB-first in stream space); L
+            may be 0 (no-op) and varies per lane."""
+            W0, nb, wi, regfile = state
+            v = jnp.where(L > 0, v, 0)
+            sh = 32 - nb - L
+            # both branches evaluate: clamp the shift amounts nonnegative
+            W0 = W0 | jnp.where(sh >= 0, _shl(v, jnp.maximum(sh, 0)),
+                                _shr_l(v, jnp.maximum(-sh, 0)))
+            newnb = nb + L
+            spill = newnb >= 32
+            regfile = jnp.where((iota64 == wi) & spill, W0, regfile)
+            W0 = jnp.where(spill, _shl(v, 64 - newnb), W0)
+            wi = wi + spill.astype(I32)
+            nb = jnp.where(spill, newnb - 32, newnb)
+            return W0, nb, wi, regfile
+
+        st = (jnp.zeros((1, TILE), I32), jnp.zeros((1, TILE), I32),
+              jnp.zeros((1, TILE), I32), jnp.zeros((64, TILE), I32))
+        # 3-byte header as ONE 24-bit append (same bit sequence)
+        hdr24 = (_bitrev8(enc_bits & 0xFF) << 16) \
+            | (_bitrev8(_shr_l(enc_bits, 8) & 0xFF) << 8) \
+            | _bitrev8(tree_size & 0xFF)
+        st = append(st, hdr24, jnp.full((1, TILE), 24, I32))
+
+        def tree_body(c, st):
+            # one fused append per canonical row: [pad][group hdr][sym]
+            # (<= 7+8+11 = 26 bits; the field's leading pad bits are 0)
+            rec = _row(tree_rec, c, iota_r)
+            g_start = (rec >> 28) & 1
+            in_r = (rec >> 27) & 1
+            gc = (rec >> 21) & 63
+            ln = (rec >> 17) & 15
+            v11 = rec & 0x7FF
+            nb = st[1]
+            pad = (8 - (nb & 7)) & 7
+            hdr = _bitrev8(((ln - 1) << 5) | (gc - 1))
+            v = jnp.where(in_r > 0, _bitrev11(v11), 0)
+            v = v | jnp.where(g_start > 0, hdr << (in_r * 11), 0)
+            L = g_start * (pad + 8) + in_r * 11
+            return append(st, v, L)
+
+        st = jax.lax.fori_loop(0, nmax, tree_body, st)
+        # close the last group to its byte boundary
+        W0, nb, wi, regfile = st
+        st = append((W0, nb, wi, regfile), jnp.zeros((1, TILE), I32),
+                    (8 - (nb & 7)) & 7)
+
+        # payload rows appended in PAIRS: row 2p's code ahead of row
+        # 2p+1's in one <=16-bit append — halves the sequential step
+        # count. Pairing in place (row 2p holds the pair) keeps sublane
+        # shapes static.
+        nxt_rec = _shift_up(pay_rec, 1)
+        v0_ok = ((pay_rec >> 12) & 1) > 0
+        v1_ok = ((nxt_rec >> 12) & 1) > 0
+        l0 = jnp.where(v0_ok, (pay_rec >> 8) & 15, 0)
+        l1 = jnp.where(v1_ok, (nxt_rec >> 8) & 15, 0)
+        c0 = jnp.where(v0_ok, pay_rec & 0xFF, 0)
+        c1 = jnp.where(v1_ok, nxt_rec & 0xFF, 0)
+        pair_rec = ((l0 + l1) << 16) | ((_shl(c0, l1) | c1) & 0xFFFF)
+
+        def pay_body(p, st):
+            rec = _row(pair_rec, 2 * p, iota64)
+            return append(st, rec & 0xFFFF, rec >> 16)
+
+        st = jax.lax.fori_loop(0, (mlenmax + 1) // 2, pay_body, st)
+        W0, nb, wi, regfile = st
+        regfile = jnp.where(iota64 == wi, W0, regfile)   # final flush
+        return regfile, size, ok
+
+    regfile, size, ok = jax.lax.cond(
+        nmax <= 16, lambda: tail(16), lambda: tail(64))
 
     # emit block-major [TILE, 64]: the in-VMEM transpose saves the
     # downstream XLA relayout (11 ms/4K frame) the stream compaction

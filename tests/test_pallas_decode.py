@@ -43,3 +43,18 @@ def test_corrupt_flagged(rng):
     ok = np.asarray(ok)
     assert not ok[5]
     assert ok[6:].all()
+
+
+def test_small_table_branch_decode(rng):
+    """Small-alphabet tiles take the payload kernel's [16, TILE] table
+    branch; decode must stay exact with ok all-True."""
+    import jax.numpy as jnp
+    from myyuv_tpu.entropy import device as edev, pallas_decode
+    c = (rng.integers(-4, 5, (256, 64))
+         * (rng.random((256, 64)) < 0.15)).astype(np.int16)
+    c[0] = 0
+    lanes, sizes, ok = edev.encode_lanes(jnp.asarray(c))
+    out, dok = pallas_decode.decode_lanes(jnp.asarray(lanes),
+                                          interpret=True)
+    assert np.asarray(dok).all()
+    np.testing.assert_array_equal(np.asarray(out), c)

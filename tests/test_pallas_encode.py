@@ -48,3 +48,20 @@ def test_oracle_decodes_pallas_encoded(rng):
                                    np.asarray(sizes).astype(np.uint8))
     dec = decode_blocks_py(st.chunk_sizes, st.content)
     np.testing.assert_array_equal(dec, coeffs)
+
+
+def test_small_table_branch_byte_identical(rng):
+    """Tiles whose largest tree has <= 16 symbols take the specialized
+    [16, TILE] tail (lax.cond) — must stay byte-identical."""
+    c = (rng.integers(-4, 5, (256, 64))
+         * (rng.random((256, 64)) < 0.15)).astype(np.int16)
+    c[0] = 0
+    lanes_p, sizes_p, ok_p = pallas_encode.encode_lanes(
+        jnp.asarray(c), interpret=True)
+    lanes_x, sizes_x, ok_x = edev.encode_lanes(jnp.asarray(c))
+    np.testing.assert_array_equal(np.asarray(sizes_p), np.asarray(sizes_x))
+    lp, lx = np.asarray(lanes_p), np.asarray(lanes_x)
+    sz = np.asarray(sizes_p)
+    for i in range(c.shape[0]):
+        np.testing.assert_array_equal(lp[i, :sz[i]], lx[i, :sz[i]],
+                                      err_msg=f"block {i}")

@@ -126,6 +126,36 @@ def _frame_qtables(qt_y, qt_u, qt_v, ny: int, nc: int):
     return qts[qidx]                             # [Ntot, 8, 8]
 
 
+def _fwd_transform(blocks_flat, qt, precision: str):
+    """[n, 64] u8 block rows + one [8, 8] qtable -> [n, 64] i16.
+
+    Per-plane calls keep the quantization table a broadcast instead of a
+    gathered [N, 8, 8] tensor (the gather + dequantize multiply cost
+    ~10 ms/4K frame, profiled); the Pallas kernel fuses center + both
+    matmuls + quantize in VMEM on TPU."""
+    import jax
+
+    if precision == "exact" and jax.default_backend() not in ("cpu",):
+        from ..kernels import pallas_dct
+        return pallas_dct.dct_quantize_rows(blocks_flat, qt)
+    n = blocks_flat.shape[0]
+    return kdev.dct_quantize(blocks_flat.reshape(n, 8, 8), qt,
+                             precision=precision).reshape(n, 64)
+
+
+def _inv_transform(coeffs_flat, qt, precision: str):
+    """[n, 64] i16 coefficient rows + one [8, 8] qtable -> [n, 64] u8."""
+    import jax
+
+    if precision == "exact" and jax.default_backend() not in ("cpu",):
+        from ..kernels import pallas_dct
+        return pallas_dct.dequantize_idct_rows(coeffs_flat, qt)
+    n = coeffs_flat.shape[0]
+    return kdev.unfuse(kdev.dequantize_idct(
+        coeffs_flat.reshape(n, 8, 8), qt,
+        precision=precision)).reshape(n, 64)
+
+
 @functools.partial(jax.jit, static_argnames=("precision", "capr_pb"))
 def compress_frame(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                    qt_y: jnp.ndarray, qt_u: jnp.ndarray, qt_v: jnp.ndarray,
@@ -149,11 +179,11 @@ def compress_frame(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     bu = kdev.plane_to_blocks(u)
     bv = kdev.plane_to_blocks(v)
     ny, nc = by.shape[0], bu.shape[0]
-    blocks = jnp.concatenate([by, bu, bv])
-    qtab = _frame_qtables(qt_y, qt_u, qt_v, ny, nc)
-    coeffs = kdev.dct_quantize(blocks, qtab, precision=precision)
-    n = coeffs.shape[0]
-    words, sizes, ok = _encode_words_dispatch(coeffs.reshape(n, 64))
+    coeffs = jnp.concatenate([
+        _fwd_transform(by.reshape(ny, 64), qt_y, precision),
+        _fwd_transform(bu.reshape(nc, 64), qt_u, precision),
+        _fwd_transform(bv.reshape(nc, 64), qt_v, precision)])
+    words, sizes, ok = _encode_words_dispatch(coeffs)
     return _compact_words(words, sizes, jnp.all(ok), capr_pb)
 
 
@@ -206,6 +236,50 @@ def _expand_window(content4, sizes_r, cw: int):
     return R4.transpose(0, 2, 1).reshape(cw, n)
 
 
+def _expand_window8(content4, sizes_r, cw: int):
+    """Interchange -> sublane-packed decode windows [cw*8, ceil(n/8)].
+
+    Same row gather as _expand_window but the final relayout emits the
+    packed-8 kernel layout (block c*8+r at sublane r, lane c) directly,
+    so the packed decoder costs no extra transpose over the flat one.
+    Short tails pad with the minimal valid all-zero-block chunk."""
+    from ..entropy.pallas_decode import _FILLER_W0
+
+    rows = content4.reshape(-1, ALIGN_W)
+    offs_r = jnp.cumsum(sizes_r) - sizes_r
+    jr = jnp.arange(cw // ALIGN_W, dtype=jnp.int32)[:, None]
+    idx = jnp.clip(offs_r[None, :] + jr, 0, rows.shape[0] - 1)
+    R4 = jnp.where((jr < sizes_r[None, :])[:, :, None], rows[idx], 0)
+    n = sizes_r.shape[0]
+    pad = (-n) % 8
+    if pad:
+        fill = jnp.zeros((cw // ALIGN_W, pad, ALIGN_W), jnp.int32
+                         ).at[0, :, 0].set(_FILLER_W0)
+        R4 = jnp.concatenate([R4, fill], axis=1)
+    n8 = n + pad
+    return R4.reshape(cw // ALIGN_W, n8 // 8, 8, ALIGN_W).transpose(
+        0, 3, 2, 1).reshape(cw * 8, n8 // 8)
+
+
+def _decode_words8_dispatch(wordsp, n: int):
+    """[cw*8, ceil(n/8)] packed words -> ([n, 64] i16, [n] ok).
+
+    Packed Pallas kernels on TPU; on CPU the words unpack back to the
+    flat layout and run the XLA v1 decoder so tests cover the same
+    graph shape everywhere."""
+    import jax
+
+    if jax.default_backend() not in ("cpu",):
+        from ..entropy import pallas_decode8
+        coeffs, ok = pallas_decode8.decode_words8(wordsp)
+        return coeffs[:n], ok[:n]
+    cw8, np8 = wordsp.shape
+    words = wordsp.reshape(cw8 // 8, 8, np8).transpose(0, 2, 1).reshape(
+        cw8 // 8, np8 * 8)
+    coeffs, ok = _decode_words_dispatch(words)
+    return coeffs[:n], ok[:n]
+
+
 @functools.partial(jax.jit, static_argnames=("h", "w", "cw", "precision"))
 def decompress_frame(content4: jnp.ndarray, sizes: jnp.ndarray,
                      qt_y: jnp.ndarray, qt_u: jnp.ndarray,
@@ -221,15 +295,15 @@ def decompress_frame(content4: jnp.ndarray, sizes: jnp.ndarray,
     nc = (h // 16) * (w // 16)
     sizes = sizes.astype(jnp.int32)
     sizes_r = _chunk_rows(sizes)
-    R = _expand_window(content4, sizes_r, cw)                # [cw, N]
-    coeffs, ok = _decode_words_dispatch(R)
+    Rp = _expand_window8(content4, sizes_r, cw)          # [cw*8, ~N/8]
+    coeffs, ok = _decode_words8_dispatch(Rp, ny + 2 * nc)
     ok = ok & (sizes_r <= cw // ALIGN_W)
-    qtab = _frame_qtables(qt_y, qt_u, qt_v, ny, nc)
-    pix = kdev.unfuse(kdev.dequantize_idct(coeffs.reshape(-1, 8, 8), qtab,
-                                           precision=precision))
-    y = kdev.blocks_to_plane(pix[:ny], h, w)
-    u = kdev.blocks_to_plane(pix[ny:ny + nc], h // 2, w // 2)
-    v = kdev.blocks_to_plane(pix[ny + nc:], h // 2, w // 2)
+    py = _inv_transform(coeffs[:ny], qt_y, precision)
+    pu = _inv_transform(coeffs[ny:ny + nc], qt_u, precision)
+    pv = _inv_transform(coeffs[ny + nc:], qt_v, precision)
+    y = kdev.blocks_to_plane(py.reshape(ny, 8, 8), h, w)
+    u = kdev.blocks_to_plane(pu.reshape(nc, 8, 8), h // 2, w // 2)
+    v = kdev.blocks_to_plane(pv.reshape(nc, 8, 8), h // 2, w // 2)
     return y, u, v, jnp.all(ok)
 
 
@@ -258,11 +332,15 @@ def compress_batch(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     bu = kdev.plane_to_blocks(u)
     bv = kdev.plane_to_blocks(v)
     ny, nc = by.shape[1], bu.shape[1]
-    blocks = jnp.concatenate([by, bu, bv], axis=1).reshape(-1, 8, 8)
-    qtab = jnp.tile(_frame_qtables(qt_y, qt_u, qt_v, ny, nc), (b, 1, 1))
-    coeffs = kdev.dct_quantize(blocks, qtab, precision=precision)
-    n = coeffs.shape[0]
-    words, sizes, ok = _encode_words_dispatch(coeffs.reshape(n, 64))
+    cy = _fwd_transform(by.reshape(b * ny, 64), qt_y, precision)
+    cu = _fwd_transform(bu.reshape(b * nc, 64), qt_u, precision)
+    cv = _fwd_transform(bv.reshape(b * nc, 64), qt_v, precision)
+    # interleave back to frame-major [Y | U | V] per frame
+    coeffs = jnp.concatenate([cy.reshape(b, ny, 64),
+                              cu.reshape(b, nc, 64),
+                              cv.reshape(b, nc, 64)],
+                             axis=1).reshape(-1, 64)
+    words, sizes, ok = _encode_words_dispatch(coeffs)
     return _compact_words(words, sizes, jnp.all(ok), capr_pb)
 
 
@@ -277,16 +355,18 @@ def decompress_batch(content4: jnp.ndarray, sizes: jnp.ndarray,
     nc = (h // 16) * (w // 16)
     sizes = sizes.astype(jnp.int32)
     sizes_r = _chunk_rows(sizes)
-    R = _expand_window(content4, sizes_r, cw)
-    coeffs, ok = _decode_words_dispatch(R)
+    Rp = _expand_window8(content4, sizes_r, cw)
+    coeffs, ok = _decode_words8_dispatch(Rp, b * (ny + 2 * nc))
     ok = ok & (sizes_r <= cw // ALIGN_W)
-    qtab = jnp.tile(_frame_qtables(qt_y, qt_u, qt_v, ny, nc), (b, 1, 1))
-    pix = kdev.unfuse(kdev.dequantize_idct(coeffs.reshape(-1, 8, 8), qtab,
-                                           precision=precision))
-    pix = pix.reshape(b, ny + 2 * nc, 8, 8)
-    y = kdev.blocks_to_plane(pix[:, :ny], h, w)
-    u = kdev.blocks_to_plane(pix[:, ny:ny + nc], h // 2, w // 2)
-    v = kdev.blocks_to_plane(pix[:, ny + nc:], h // 2, w // 2)
+    cf = coeffs.reshape(b, ny + 2 * nc, 64)
+    py = _inv_transform(cf[:, :ny].reshape(b * ny, 64), qt_y, precision)
+    pu = _inv_transform(cf[:, ny:ny + nc].reshape(b * nc, 64), qt_u,
+                        precision)
+    pv = _inv_transform(cf[:, ny + nc:].reshape(b * nc, 64), qt_v,
+                        precision)
+    y = kdev.blocks_to_plane(py.reshape(b, ny, 8, 8), h, w)
+    u = kdev.blocks_to_plane(pu.reshape(b, nc, 8, 8), h // 2, w // 2)
+    v = kdev.blocks_to_plane(pv.reshape(b, nc, 8, 8), h // 2, w // 2)
     return y, u, v, jnp.all(ok)
 
 

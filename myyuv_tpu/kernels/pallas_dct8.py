@@ -1,0 +1,167 @@
+"""Sublane-packed Pallas DCT kernels: element-major [512, TP] layout.
+
+Successor of kernels/pallas_dct.py for the frame codec hot path. The flat
+[TILE, 64] kernels slice blocks column-wise, so every operand is a
+[TILE, 8] slab using 8 of 128 lanes; here blocks ride lanes 8-per-column
+(block b = c*8 + r at sublane r, lane c — the entropy kernels' packed
+layout) and every DCT term is a dense [8, TP] slice:
+
+  stage 1 (M . B):   out elem (8i+j) = sum_k lit(M[i,k]) * elem(8k+j)
+  stage 2 (T . M'):  out elem (8i+j) = sum_k lit(M'[k,j]) * elem(8i+k)
+
+Both stages are scalar-literal x [8, TP] multiply-adds — full vector
+utilization with zero shuffles. The zigzag permutation is FREE: it folds
+into which slice each stage reads/writes (static indices), so the forward
+kernel emits coefficient rows already in message order for the entropy
+encoder, and the inverse kernel consumes the entropy decoder's packed
+output directly.
+
+Bit-exactness: identical scalar accumulation order and FMA-defeat
+(runtime zero after every multiply) as kernels/device._seq_matmul, and
+the same division-free _exact_quantize / round_half_away — the packed
+layout only changes vector shapes, not the per-element op sequence
+(reference semantics: DCT.cpp:269-335).
+
+Per-plane quantization tables ride as a [3*512, 1] input (value per
+element row, lane-broadcast — a [3, 8, 8] -> row-expanded layout built
+host-side) plus a per-tile plane id, so one kernel sweeps Y/U/V tiles of
+a frame whose planes are column-padded to tile multiples.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from . import device as kdev
+from .constants import DCT_MATRIX8
+from ..entropy.reference import ZIGZAG
+
+F32 = jnp.float32
+I32 = jnp.int32
+TILE = 512          # lane columns per grid program (8 blocks each)
+
+_C_NP = DCT_MATRIX8
+_ZZ = np.asarray(ZIGZAG, np.int64)
+_IZZ = np.argsort(_ZZ)
+
+
+def _qt_select(qt_ref, pid_ref):
+    """[3*512, 1] element-row-expanded tables + plane id -> [512, 1]."""
+    pid = pid_ref[0, 0]
+    q0 = qt_ref[0:512, :]
+    q1 = qt_ref[512:1024, :]
+    q2 = qt_ref[1024:1536, :]
+    return jnp.where(pid == 1, q1, jnp.where(pid == 2, q2, q0))
+
+
+def _dct_quantize_kernel8(x_ref, qt_ref, pid_ref, out_ref):
+    """x [512, TP] i32 pixels element-major -> out [512, TP] i32 quantized
+    coefficients in MESSAGE (zigzag) order.
+
+    i32 I/O keeps every 8-row ref slice aligned to the (8, 128) vreg
+    tile (u8/i16 tile 32/16 sublanes, so their 8-row slices straddle)."""
+    qp = _qt_select(qt_ref, pid_ref).astype(F32)
+    z = qp[0, 0] * F32(0)
+
+    xs = [x_ref[8 * e:8 * e + 8, :].astype(F32) - F32(128)
+          for e in range(64)]
+    # stage 1: t = C . B; t elem (8i+j) = sum_k C[i,k] * B elem (8k+j)
+    ts = [None] * 64
+    for i in range(8):
+        for j in range(8):
+            acc = (F32(float(_C_NP[i, 0])) * xs[j]) + z
+            for k in range(1, 8):
+                acc = acc + ((F32(float(_C_NP[i, k])) * xs[8 * k + j]) + z)
+            ts[8 * i + j] = acc
+    # stage 2: coef = t . C^T; coef elem (8i+j) = sum_k t(8i+k) * C[j,k]
+    cs = [None] * 64
+    for i in range(8):
+        for j in range(8):
+            acc = (ts[8 * i] * F32(float(_C_NP[j, 0]))) + z
+            for k in range(1, 8):
+                acc = acc + ((ts[8 * i + k] * F32(float(_C_NP[j, k]))) + z)
+            cs[8 * i + j] = acc
+    # emit in message order: row group p holds element ZZ[p]; the qtable
+    # rows are element-ordered, so permute them through the same zigzag
+    coef = jnp.concatenate([cs[int(_ZZ[p])] for p in range(64)], axis=0)
+    qz = jnp.concatenate([qp[8 * int(_ZZ[p]):8 * int(_ZZ[p]) + 8, :]
+                          for p in range(64)], axis=0)
+    out_ref[...] = kdev._exact_quantize(coef, qz).astype(I32)
+
+
+def _dequantize_idct_kernel8(co_ref, qt_ref, pid_ref, out_ref):
+    """co [512, TP] i32 coefficients in MESSAGE (zigzag) order ->
+    out [512, TP] i32 pixel values (0..255) element-major."""
+    qp = _qt_select(qt_ref, pid_ref).astype(F32)
+    z = qp[0, 0] * F32(0)
+
+    # dequantize on read: element e sits at input row group IZZ[e], and
+    # its q value at qp row group e
+    xs = [co_ref[8 * int(_IZZ[e]):8 * int(_IZZ[e]) + 8, :]
+          .astype(F32) * qp[8 * e:8 * e + 8, :] for e in range(64)]
+    # stage 1: t = C^T . X; t elem (8i+j) = sum_k C[k,i] * X elem (8k+j)
+    ts = [None] * 64
+    for i in range(8):
+        for j in range(8):
+            acc = (F32(float(_C_NP[0, i])) * xs[j]) + z
+            for k in range(1, 8):
+                acc = acc + ((F32(float(_C_NP[k, i])) * xs[8 * k + j]) + z)
+            ts[8 * i + j] = acc
+    # stage 2: pix = T . C; pix elem (8i+j) = sum_k t(8i+k) * C[k,j]
+    ps = [None] * 64
+    for i in range(8):
+        for j in range(8):
+            acc = (ts[8 * i] * F32(float(_C_NP[0, j]))) + z
+            for k in range(1, 8):
+                acc = acc + ((ts[8 * i + k] * F32(float(_C_NP[k, j]))) + z)
+            ps[8 * i + j] = acc
+    pix = jnp.concatenate(ps, axis=0)
+    r = kdev.round_half_away(pix).astype(I32) + 128
+    out_ref[...] = jnp.clip(r, 0, 255)
+
+
+def expand_qtables(qts) -> jnp.ndarray:
+    """[8, 8] tables (Y, U, V) -> [3*512, 1] f32 element-row expansion."""
+    rows = [jnp.repeat(q.astype(F32).reshape(64), 8).reshape(512, 1)
+            for q in qts]
+    return jnp.concatenate(rows, axis=0)
+
+
+def _call(kernel, x, qtx, pids, out_dtype, tile, interpret):
+    ntp = x.shape[1]
+    grid = (ntp // tile,)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((512, ntp), out_dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((512, tile), lambda i: (0, i)),
+                  pl.BlockSpec((1536, 1), lambda i: (0, 0)),
+                  pl.BlockSpec((1, 1), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((512, tile), lambda i: (0, i)),
+        interpret=interpret,
+    )(x, qtx, pids)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def dct_quantize_packed(pix8: jnp.ndarray, qtx: jnp.ndarray,
+                        pids: jnp.ndarray, tile: int = TILE,
+                        interpret: bool = False) -> jnp.ndarray:
+    """[512, NTP] i32 packed pixels -> [512, NTP] i32 message-order coeffs.
+
+    ``pids`` is [1, NTP // tile] i32 plane ids (0/1/2) per tile."""
+    return _call(_dct_quantize_kernel8, pix8, qtx, pids, I32,
+                 tile, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def dequantize_idct_packed(coef8: jnp.ndarray, qtx: jnp.ndarray,
+                           pids: jnp.ndarray, tile: int = TILE,
+                           interpret: bool = False) -> jnp.ndarray:
+    """[512, NTP] i32 message-order coeffs -> [512, NTP] i32 pixels."""
+    return _call(_dequantize_idct_kernel8, coef8, qtx, pids, I32,
+                 tile, interpret)

@@ -1,0 +1,87 @@
+"""Sublane-packed Pallas Huffman decoder vs the host encoders
+(interpret mode, small tile so CPU interpret stays fast)."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from myyuv_tpu import native  # noqa: E402
+from myyuv_tpu.entropy import encode_blocks_py, pallas_decode8  # noqa: E402
+from myyuv_tpu.formats.dct_stream import DCTPlaneStream  # noqa: E402
+
+TILE = 32     # 256 blocks per program in interpret mode
+
+
+def _blocks(rng, n=300):
+    c = (rng.integers(-1024, 1024, (n, 64))
+         * (rng.random((n, 64)) < 0.25)).astype(np.int16)
+    c[0] = 0
+    c[1] = 1023
+    c[2] = -1024
+    c[3, :] = 0
+    c[3, 0] = 5    # single symbol
+    return c
+
+
+def test_decodes_native_encoded(rng):
+    coeffs = _blocks(rng)
+    if native.available():
+        sizes, content = native.encode_blocks(coeffs)
+    else:
+        sizes, content = encode_blocks_py(coeffs)
+    lanes = DCTPlaneStream(sizes, content).to_lanes()
+    dec, ok = pallas_decode8.decode_lanes8(jnp.asarray(lanes),
+                                           interpret=True, tile=TILE)
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(dec), coeffs)
+
+
+def test_corrupt_flagged(rng):
+    coeffs = _blocks(rng, 64)
+    sizes, content = encode_blocks_py(coeffs)
+    lanes = DCTPlaneStream(sizes, content).to_lanes()
+    lanes[5, 0] ^= 0xFF
+    _, ok = pallas_decode8.decode_lanes8(jnp.asarray(lanes),
+                                         interpret=True, tile=TILE)
+    ok = np.asarray(ok)
+    assert not ok[5]
+    assert ok[6:].all()
+
+
+def test_small_table_branch_decode(rng):
+    """Small-alphabet tiles take the paired-table [8-group] branch."""
+    from myyuv_tpu.entropy import device as edev
+    c = (rng.integers(-4, 5, (256, 64))
+         * (rng.random((256, 64)) < 0.15)).astype(np.int16)
+    c[0] = 0
+    lanes, sizes, ok = edev.encode_lanes(jnp.asarray(c))
+    out, dok = pallas_decode8.decode_lanes8(jnp.asarray(lanes),
+                                            interpret=True, tile=TILE)
+    assert np.asarray(dok).all()
+    np.testing.assert_array_equal(np.asarray(out), c)
+
+
+def test_matches_unpacked_on_golden_stream():
+    """Packed and unpacked kernels agree on a real golden-plane slice."""
+    from pathlib import Path
+
+    from myyuv_tpu import YUVImage, entropy
+    from myyuv_tpu.formats.dct_stream import DCTStream
+    p = Path("/root/reference/images/chef-with-trumpet-DCT-50.myyuv")
+    if not p.exists():
+        pytest.skip("golden image missing")
+    st = DCTStream.parse(YUVImage.load(p).data)
+    pl0 = st.planes[0]
+    n = 512
+    want = entropy.decode_blocks(pl0.chunk_sizes[:n],
+                                 pl0.content[:pl0.chunk_sizes[:n]
+                                             .astype(np.int64).sum()])
+    lanes = DCTPlaneStream(pl0.chunk_sizes[:n],
+                           pl0.content[:pl0.chunk_sizes[:n]
+                                       .astype(np.int64).sum()]).to_lanes()
+    dec, ok = pallas_decode8.decode_lanes8(jnp.asarray(lanes),
+                                           interpret=True, tile=TILE)
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(dec), want)

@@ -33,16 +33,17 @@ from ..runtime.errors import BitstreamError
 
 # static content capacity per block; q50 averages ~12 B/block, max 255
 CAP_PER_BLOCK = 48
-# interchange granularity: chunks pad to 4-word (16-byte) rows so stream
-# compaction/expansion run as row gathers (slice size 4) instead of
-# per-word gathers — measured 2.4x/3.1x faster on TPU for the same stream
-ALIGN_W = 4
+# interchange granularity: chunks pad to 8-word (32-byte) rows. TPU row
+# gathers are index-bound, not byte-bound (tools/exp_rowwidth.py: 32-byte
+# rows gather at ~60 Midx/s vs ~110 for 16-byte — half the indices for
+# the same stream wins ~2x on compaction and ~1.3x on window expansion)
+ALIGN_W = 8
 # TOTAL interchange capacity is an AVERAGE rows-per-block budget: the
 # compaction gather's cost is linear in the output capacity (measured
 # 29.6 -> 17.3 ms/4K frame going 3 -> 1.5 rows/block), so the default
 # budget is sized for typical streams (q50 ~1.14 rows/block) and callers
 # retry once with the roomy budget before falling back to host entropy
-CAPR_TOTAL_DEFAULT = 2          # 32 B/block average (covers ~q85)
+CAPR_TOTAL_DEFAULT = 2          # 64 B/block average (covers ~q90)
 CAPR_TOTAL_ROOMY = 3            # the per-block-cap-shaped worst case
 CAPW_TOTAL_DEFAULT = CAPR_TOTAL_DEFAULT * ALIGN_W    # words/block average
 
@@ -220,18 +221,24 @@ def _compact_words(words, sizes, ok, capr_pb: int = CAPR_TOTAL_DEFAULT):
         jnp.maximum, jnp.where(mark > 0, k, -1))
     r_of = jnp.clip(k - start, 0, rows_per_block - 1)
     rows = words.reshape(n * rows_per_block, ALIGN_W)   # block-major rows
-    content4 = jnp.where((k < totr)[:, None],
-                         rows[block_of * rows_per_block + r_of], 0)
+    # rows past totr read garbage from the last block's canvas — never
+    # consumed (pull/repack/splice all stop at the exact row totals)
+    content4 = rows[block_of * rows_per_block + r_of]
     return content4.reshape(-1), sizes, total, ok & (totr <= capr)
 
 
 def _expand_window(content4, sizes_r, cw: int):
-    """Interchange -> per-block decode windows [cw, N] (row gather)."""
+    """Interchange -> per-block decode windows [cw, N] (row gather).
+
+    Rows past a chunk's end carry the NEXT chunk's bytes (no mask — the
+    select cost ~3 ms/4K frame): the decoders consume exactly enc_bits
+    payload bits and tree_bits tree bits, so trailing garbage in the
+    window is never turned into symbols or validity flags."""
     rows = content4.reshape(-1, ALIGN_W)
     offs_r = jnp.cumsum(sizes_r) - sizes_r
     jr = jnp.arange(cw // ALIGN_W, dtype=jnp.int32)[:, None]
     idx = jnp.clip(offs_r[None, :] + jr, 0, rows.shape[0] - 1)
-    R4 = jnp.where((jr < sizes_r[None, :])[:, :, None], rows[idx], 0)
+    R4 = rows[idx]
     n = sizes_r.shape[0]
     return R4.transpose(0, 2, 1).reshape(cw, n)
 
@@ -249,7 +256,7 @@ def _expand_window8(content4, sizes_r, cw: int):
     offs_r = jnp.cumsum(sizes_r) - sizes_r
     jr = jnp.arange(cw // ALIGN_W, dtype=jnp.int32)[:, None]
     idx = jnp.clip(offs_r[None, :] + jr, 0, rows.shape[0] - 1)
-    R4 = jnp.where((jr < sizes_r[None, :])[:, :, None], rows[idx], 0)
+    R4 = rows[idx]                  # unmasked: see _expand_window
     n = sizes_r.shape[0]
     pad = (-n) % 8
     if pad:

@@ -38,14 +38,24 @@ CAP_PER_BLOCK = 48
 # rows gather at ~60 Midx/s vs ~110 for 16-byte — half the indices for
 # the same stream wins ~2x on compaction and ~1.3x on window expansion)
 ALIGN_W = 8
-# TOTAL interchange capacity is an AVERAGE rows-per-block budget: the
-# compaction gather's cost is linear in the output capacity (measured
-# 29.6 -> 17.3 ms/4K frame going 3 -> 1.5 rows/block), so the default
-# budget is sized for typical streams (q50 ~1.14 rows/block) and callers
-# retry once with the roomy budget before falling back to host entropy
-CAPR_TOTAL_DEFAULT = 2          # 64 B/block average (covers ~q90)
-CAPR_TOTAL_ROOMY = 3            # the per-block-cap-shaped worst case
-CAPW_TOTAL_DEFAULT = CAPR_TOTAL_DEFAULT * ALIGN_W    # words/block average
+# TOTAL interchange capacity is an AVERAGE budget in EIGHTH-rows per
+# block: the compaction gather's cost is linear in the output capacity
+# (measured 29.6 -> 17.3 -> 12.9 ms/4K frame going 3 -> 1.5 -> 1.25
+# rows/block), so the default budget hugs typical streams (q50 ~1.14
+# rows/block) and callers retry once with the roomy budget before
+# falling back to host entropy
+CAPR8_DEFAULT = 10              # 1.25 rows = 40 B/block average (q50+9%)
+CAPR8_ROOMY = 24                # 3 rows: the per-block-cap worst case
+
+def capr_total(n: int, capr8_pb: int = CAPR8_DEFAULT) -> int:
+    """Interchange capacity in ALIGN_W-word rows for n blocks."""
+    return -(-n * capr8_pb // 8)
+
+
+def capw_total(n: int, capr8_pb: int = CAPR8_DEFAULT) -> int:
+    """Interchange capacity in words for n blocks at the given budget
+    (the length of the content4 buffer the device paths produce)."""
+    return capr_total(n, capr8_pb) * ALIGN_W
 
 
 def _decode_lanes_dispatch(lanes):
@@ -157,11 +167,11 @@ def _inv_transform(coeffs_flat, qt, precision: str):
         precision=precision)).reshape(n, 64)
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "capr_pb"))
+@functools.partial(jax.jit, static_argnames=("precision", "capr8_pb"))
 def compress_frame(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                    qt_y: jnp.ndarray, qt_u: jnp.ndarray, qt_v: jnp.ndarray,
                    precision: str = "exact",
-                   capr_pb: int = CAPR_TOTAL_DEFAULT):
+                   capr8_pb: int = CAPR8_DEFAULT):
     """Full-frame on-chip compress -> (content4, sizes, total, ok).
 
     ``content4`` is the word-aligned device interchange: each block's chunk
@@ -185,7 +195,7 @@ def compress_frame(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
         _fwd_transform(bu.reshape(nc, 64), qt_u, precision),
         _fwd_transform(bv.reshape(nc, 64), qt_v, precision)])
     words, sizes, ok = _encode_words_dispatch(coeffs)
-    return _compact_words(words, sizes, jnp.all(ok), capr_pb)
+    return _compact_words(words, sizes, jnp.all(ok), capr8_pb)
 
 
 def _chunk_rows(sizes):
@@ -193,7 +203,7 @@ def _chunk_rows(sizes):
     return (sizes + 4 * ALIGN_W - 1) // (4 * ALIGN_W)
 
 
-def _compact_words(words, sizes, ok, capr_pb: int = CAPR_TOTAL_DEFAULT):
+def _compact_words(words, sizes, ok, capr8_pb: int = CAPR8_DEFAULT):
     """(words [N, 64] i32 block-major, sizes [N]) -> (content4
     [N*capr_pb*ALIGN_W] i32, sizes, total bytes, ok).
 
@@ -202,16 +212,16 @@ def _compact_words(words, sizes, ok, capr_pb: int = CAPR_TOTAL_DEFAULT):
     cumsum over run marks and its within-block row from a running max of
     run starts — both scans, so the single gather is the only
     index-chasing op (the offs_r[block_of] index gather this replaces
-    cost ~9 ms/4K frame). ``capr_pb`` is the AVERAGE rows-per-block
-    capacity; totr > capacity flips ok (callers retry roomier or fall
-    back to host entropy)."""
+    cost ~9 ms/4K frame). ``capr8_pb`` is the AVERAGE capacity budget in
+    eighth-rows per block; totr > capacity flips ok (callers retry
+    roomier or fall back to host entropy)."""
     n = sizes.shape[0]
     sizes = sizes.astype(jnp.int32)
     sizes_r = _chunk_rows(sizes)
     offs_r = jnp.cumsum(sizes_r) - sizes_r
     totr = jnp.sum(sizes_r)
     total = jnp.sum(sizes)
-    capr = n * capr_pb
+    capr = capr_total(n, capr8_pb)
     rows_per_block = 64 // ALIGN_W
     mark = jnp.zeros((capr,), jnp.int32).at[offs_r].add(
         1, mode="drop", indices_are_sorted=True, unique_indices=True)
@@ -268,6 +278,57 @@ def _expand_window8(content4, sizes_r, cw: int):
         0, 3, 2, 1).reshape(cw * 8, n8 // 8)
 
 
+def _unplane_packed(seg, ph: int, pw: int):
+    """[512, n//8] packed pixel columns -> [ph, pw] u8 plane."""
+    from ..kernels import pallas_dct8 as p8
+    n = seg.shape[1] * 8
+    rows = p8.unpack_rows8(seg).astype(jnp.uint8)
+    return kdev.blocks_to_plane(rows.reshape(n, 8, 8), ph, pw)
+
+
+def _decode_idct_packed(Rp, qt_y, qt_u, qt_v, ny: int, nc: int, b: int,
+                        h: int, w: int):
+    """Packed window words -> (y, u, v, ok[n]) with ZERO inter-kernel
+    relayouts: the Huffman decoder's [512, NTP] message-order output is
+    exactly the packed IDCT kernel's input layout (pallas_dct8), so the
+    only relayout in the whole decompress is the final packed->plane
+    move. Requires ny, nc divisible by 8 (plane-pure lane columns)."""
+    from ..entropy import pallas_decode8 as pd8
+    from ..kernels import pallas_dct8 as p8
+    n = b * (ny + 2 * nc)
+    outp, ok = pd8.decode_words8_packed(Rp)
+    ntp = outp.shape[1]
+    padc = (-ntp) % p8.TILE
+    if padc:
+        outp = jnp.concatenate(
+            [outp, jnp.zeros((512, padc), jnp.int32)], axis=1)
+    qtx = p8.expand_qtables((qt_y, qt_u, qt_v))
+    pat = np.concatenate([
+        np.zeros(ny // 8, np.int32), np.ones(nc // 8, np.int32),
+        np.full(nc // 8, 2, np.int32)])
+    pids = jnp.asarray(np.concatenate(
+        [np.tile(pat, b),
+         np.zeros(ntp + padc - n // 8, np.int32)])[None])
+    pixp = p8.dequantize_idct_packed(outp, qtx, pids)
+    nf8 = (ny + 2 * nc) // 8
+    segs = {0: [], 1: [], 2: []}
+    for f in range(b):
+        base = f * nf8
+        segs[0].append(pixp[:, base:base + ny // 8])
+        segs[1].append(pixp[:, base + ny // 8:base + (ny + nc) // 8])
+        segs[2].append(pixp[:, base + (ny + nc) // 8:base + nf8])
+    cat = [s[0] if b == 1 else jnp.concatenate(s, axis=1)
+           for s in (segs[0], segs[1], segs[2])]
+    y = _unplane_packed(cat[0], b * h, w).reshape(-1, h, w)
+    u = _unplane_packed(cat[1], b * (h // 2), w // 2).reshape(
+        -1, h // 2, w // 2)
+    v = _unplane_packed(cat[2], b * (h // 2), w // 2).reshape(
+        -1, h // 2, w // 2)
+    if b == 1:
+        y, u, v = y[0], u[0], v[0]
+    return y, u, v, ok[:n]
+
+
 def _decode_words8_dispatch(wordsp, n: int):
     """[cw*8, ceil(n/8)] packed words -> ([n, 64] i16, [n] ok).
 
@@ -303,6 +364,11 @@ def decompress_frame(content4: jnp.ndarray, sizes: jnp.ndarray,
     sizes = sizes.astype(jnp.int32)
     sizes_r = _chunk_rows(sizes)
     Rp = _expand_window8(content4, sizes_r, cw)          # [cw*8, ~N/8]
+    if (precision == "exact" and ny % 8 == 0 and nc % 8 == 0
+            and jax.default_backend() not in ("cpu",)):
+        y, u, v, ok = _decode_idct_packed(
+            Rp, qt_y, qt_u, qt_v, ny, nc, 1, h, w)
+        return y, u, v, jnp.all(ok & (sizes_r <= cw // ALIGN_W))
     coeffs, ok = _decode_words8_dispatch(Rp, ny + 2 * nc)
     ok = ok & (sizes_r <= cw // ALIGN_W)
     py = _inv_transform(coeffs[:ny], qt_y, precision)
@@ -327,11 +393,11 @@ def decompress_frame(content4: jnp.ndarray, sizes: jnp.ndarray,
 # files with plain slicing.
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "capr_pb"))
+@functools.partial(jax.jit, static_argnames=("precision", "capr8_pb"))
 def compress_batch(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                    qt_y: jnp.ndarray, qt_u: jnp.ndarray, qt_v: jnp.ndarray,
                    precision: str = "exact",
-                   capr_pb: int = CAPR_TOTAL_DEFAULT):
+                   capr8_pb: int = CAPR8_DEFAULT):
     """[B, H, W] (+2x [B, H/2, W/2]) u8 -> (content4, sizes [B*Nf], total
     bytes, ok) — the whole batch compressed on-chip in one executable."""
     b = y.shape[0]
@@ -348,7 +414,7 @@ def compress_batch(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                               cv.reshape(b, nc, 64)],
                              axis=1).reshape(-1, 64)
     words, sizes, ok = _encode_words_dispatch(coeffs)
-    return _compact_words(words, sizes, jnp.all(ok), capr_pb)
+    return _compact_words(words, sizes, jnp.all(ok), capr8_pb)
 
 
 @functools.partial(jax.jit,
@@ -363,6 +429,11 @@ def decompress_batch(content4: jnp.ndarray, sizes: jnp.ndarray,
     sizes = sizes.astype(jnp.int32)
     sizes_r = _chunk_rows(sizes)
     Rp = _expand_window8(content4, sizes_r, cw)
+    if (precision == "exact" and ny % 8 == 0 and nc % 8 == 0
+            and jax.default_backend() not in ("cpu",)):
+        y, u, v, ok = _decode_idct_packed(
+            Rp, qt_y, qt_u, qt_v, ny, nc, b, h, w)
+        return y, u, v, jnp.all(ok & (sizes_r <= cw // ALIGN_W))
     coeffs, ok = _decode_words8_dispatch(Rp, b * (ny + 2 * nc))
     ok = ok & (sizes_r <= cw // ALIGN_W)
     cf = coeffs.reshape(b, ny + 2 * nc, 64)
@@ -412,11 +483,11 @@ def compress_batch_to_streams(planes_np, qtables_np,
     ny = (h // 8) * (w // 8)
     nc = (h // 16) * (w // 16)
     content4 = sizes = total = None
-    for capr_pb in (CAPR_TOTAL_DEFAULT, CAPR_TOTAL_ROOMY):
+    for capr8_pb in (CAPR8_DEFAULT, CAPR8_ROOMY):
         content4, sizes, total, ok = compress_batch(
             jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
             *[jnp.asarray(q) for q in qtables_np], precision=precision,
-            capr_pb=capr_pb)
+            capr8_pb=capr8_pb)
         if bool(ok):
             break
     else:
@@ -428,10 +499,10 @@ def compress_batch_to_streams(planes_np, qtables_np,
     return batch_streams_split(sizes_np, packed, b, ny, nc)
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "capr_pb"))
+@functools.partial(jax.jit, static_argnames=("precision", "capr8_pb"))
 def compress_plane(plane: jnp.ndarray, qtable: jnp.ndarray,
                    precision: str = "exact",
-                   capr_pb: int = CAPR_TOTAL_DEFAULT):
+                   capr8_pb: int = CAPR8_DEFAULT):
     """[H, W] u8 -> (content4 [N*capr_pb*4] i32, sizes [N] i32, total
     bytes, ok).
 
@@ -442,7 +513,7 @@ def compress_plane(plane: jnp.ndarray, qtable: jnp.ndarray,
     coeffs = kdev.dct_quantize_plane(plane, qtable, precision=precision)
     n = coeffs.shape[0]
     words, sizes, ok = _encode_words_dispatch(coeffs.reshape(n, 64))
-    return _compact_words(words, sizes, jnp.all(ok), capr_pb)
+    return _compact_words(words, sizes, jnp.all(ok), capr8_pb)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "cw", "precision"))
@@ -524,12 +595,12 @@ def compress_frame_to_streams(planes_np, qtables_np,
     ny = (h // 8) * (w // 8)
     nc = (h // 16) * (w // 16)
     content4 = sizes = total = None
-    for capr_pb in (CAPR_TOTAL_DEFAULT, CAPR_TOTAL_ROOMY):
+    for capr8_pb in (CAPR8_DEFAULT, CAPR8_ROOMY):
         content4, sizes, total, ok = compress_frame(
             jnp.asarray(planes_np[0]), jnp.asarray(planes_np[1]),
             jnp.asarray(planes_np[2]),
             *[jnp.asarray(q) for q in qtables_np],
-            precision=precision, capr_pb=capr_pb)
+            precision=precision, capr8_pb=capr8_pb)
         if bool(ok):
             break
     else:
@@ -544,8 +615,8 @@ def compress_frame_to_streams(planes_np, qtables_np,
 def _pad_interchange(words_np: np.ndarray, n: int) -> np.ndarray:
     """Pad expanded interchange words to the smallest static capacity
     geometry (default, then roomy); raises when even roomy is exceeded."""
-    for capr_pb in (CAPR_TOTAL_DEFAULT, CAPR_TOTAL_ROOMY):
-        capw = n * capr_pb * ALIGN_W
+    for capr8_pb in (CAPR8_DEFAULT, CAPR8_ROOMY):
+        capw = capw_total(n, capr8_pb)
         if words_np.size <= capw:
             padded = np.zeros((capw,), np.int32)
             padded[:words_np.size] = words_np
@@ -581,10 +652,10 @@ def compress_plane_to_stream(plane_np: np.ndarray, qtable_np: np.ndarray,
     """
     from .. import native
     content4 = sizes = None
-    for capr_pb in (CAPR_TOTAL_DEFAULT, CAPR_TOTAL_ROOMY):
+    for capr8_pb in (CAPR8_DEFAULT, CAPR8_ROOMY):
         content4, sizes, total, ok = compress_plane(
             jnp.asarray(plane_np), jnp.asarray(qtable_np),
-            precision=precision, capr_pb=capr_pb)
+            precision=precision, capr8_pb=capr8_pb)
         if bool(ok):
             break
     else:

@@ -129,7 +129,7 @@ def compress_plane_sharded(mesh, plane_np: np.ndarray,
     seg_rows_np = np.asarray(seg_rows)
     content_np = np.asarray(content4)
     n_loc = npad // n_dev
-    segcap = n_loc * ds.CAPW_TOTAL_DEFAULT
+    segcap = ds.capw_total(n_loc)
     parts: List[np.ndarray] = []
     for d in range(n_dev):
         seg_sizes = sizes_np[d * n_loc:(d + 1) * n_loc]
@@ -163,9 +163,9 @@ def decompress_plane_sharded(mesh, sizes_np: np.ndarray,
         content_all = np.concatenate(
             [content_np, np.tile(filler, npad - n)])
     n_loc = npad // n_dev
-    segcap = n_loc * ds.CAPW_TOTAL_DEFAULT
+    segcap = ds.capw_total(n_loc)
     boffs = np.cumsum(sizes_i32.astype(np.int64)) - sizes_i32
-    content4 = np.zeros(npad * ds.CAPW_TOTAL_DEFAULT, np.int32)
+    content4 = np.zeros(n_dev * segcap, np.int32)
     for d in range(n_dev):
         seg_sizes = sizes_i32[d * n_loc:(d + 1) * n_loc]
         lo = int(boffs[d * n_loc])

@@ -268,12 +268,11 @@ def pack8_rows(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(r, n // 8, 8).transpose(0, 2, 1).reshape(r * 8, n // 8)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
-def decode_words8(wordsp: jnp.ndarray, interpret: bool = False,
-                  tile: int | None = None):
-    """[CW*8, NP] i32 packed-8 kernel-space words -> ([NP*8, 64] i16
-    coefficients in block order b = c*8 + r, [NP*8] ok)."""
-    tile = tile or TILE
+def _decode8_raw(wordsp: jnp.ndarray, interpret: bool, tile: int):
+    """Shared kernel driver -> (out [528, NTP] i32, ok [8, NTP] i32).
+
+    NTP is NP padded up to the tile; out rows 8p..8p+7 hold message
+    symbol p for the 8 blocks of each lane column (zigzag order)."""
     cw8, np8 = wordsp.shape
     cw = cw8 // 8
     n = np8 * 8
@@ -317,11 +316,37 @@ def decode_words8(wordsp: jnp.ndarray, interpret: bool = False,
                    pl.BlockSpec((8, tile), lambda i: (0, i))),
         interpret=interpret,
     )(wordsp, meta, sym2, counts, tbad)
+    return out, ok
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def decode_words8(wordsp: jnp.ndarray, interpret: bool = False,
+                  tile: int | None = None):
+    """[CW*8, NP] i32 packed-8 kernel-space words -> ([NP*8, 64] i16
+    coefficients in block order b = c*8 + r, [NP*8] ok)."""
+    tile = tile or TILE
+    n = wordsp.shape[1] * 8
+    out, ok = _decode8_raw(wordsp, interpret, tile)
+    ntp = out.shape[1]
     # rows 8p+r -> block-major [n, 64] + inverse-zigzag column gather
     m = out[:512].reshape(64, 8, ntp).transpose(2, 1, 0).reshape(ntp * 8, 64)
     coeffs = m[:, _IZZ].astype(jnp.int16)[:n]
     okb = ok.T.reshape(ntp * 8)[:n]
     return coeffs, okb != 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def decode_words8_packed(wordsp: jnp.ndarray, interpret: bool = False,
+                         tile: int | None = None):
+    """[CW*8, NP] packed words -> ([512, NTP] i32 message-order packed
+    coefficient rows (kernels/pallas_dct8 layout; NTP = NP padded to the
+    tile), [NP*8] ok) — no relayout: the output feeds
+    dequantize_idct_packed directly."""
+    tile = tile or TILE
+    n = wordsp.shape[1] * 8
+    out, ok = _decode8_raw(wordsp, interpret, tile)
+    ntp = out.shape[1]
+    return out[:512], ok.T.reshape(ntp * 8)[:n] != 0
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile"))

@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .reference import ZIGZAG
 
@@ -115,10 +116,17 @@ def _row(x, r, iota):
     return jnp.sum(jnp.where(iota == r, x, 0), axis=0, keepdims=True)
 
 
-def _encode_kernel(msg_ref, words_ref, size_ref, ok_ref):
+def _encode_kernel(msg_ref, words_ref, size_ref, ok_ref, scr_ref):
     """msg [64, TILE] i32 zigzag-ordered coefficients ->
     words [TILE, 64] i32 (bit-reversed big-endian packed stream,
-    block-major), size [1, TILE] i32 chunk bytes, ok [1, TILE] i32."""
+    block-major), size [1, TILE] i32 chunk bytes, ok [1, TILE] i32.
+
+    ``scr_ref`` is [256, TILE] VMEM scratch holding the per-step record
+    tables (canonical LUT, tree records, payload quads, interior depths):
+    the sequential loops read them back through UNIFORM dynamic row
+    slices (``ref[pl.ds(c, 1)]``) instead of one-hot row reductions —
+    the loop index is the same for every lane, so each read is O(1)
+    vector work (the trick pallas_decode8 uses for its symbol stores)."""
     msg = msg_ref[...]
     iota64 = jax.lax.broadcasted_iota(I32, (64, TILE), 0)
 
@@ -219,16 +227,19 @@ def _encode_kernel(msg_ref, words_ref, size_ref, ok_ref):
         # node's parent has a larger id, so when step nid runs, its own
         # depth is final (roots keep the zero init: a root is never
         # consumed, so its parentI entry stays 0, below the id range).
-        def depth_body(i, carry):
-            depthI, leafd = carry
-            nid = 64 + nmax - 2 - i
-            d = _row(depthI, nid - 64, iota_r) + 1    # [1, TILE]
-            depthI = jnp.where(parentI == nid, d, depthI)
-            leafd = jnp.where(parentL == nid, d, leafd)
-            return depthI, leafd
+        # Interior depths live in scratch so the per-step read of row
+        # nid-64 is a uniform dynamic slice, not a one-hot reduction.
+        scr_ref[192:192 + rows, :] = zeroR
 
-        _, leafd = jax.lax.fori_loop(0, nmax - 1, depth_body,
-                                     (zeroR, zeroR))
+        def depth_body(i, leafd):
+            nid = 64 + nmax - 2 - i
+            d = scr_ref[pl.ds(192 + nid - 64, 1), :] + 1   # [1, TILE]
+            scr_ref[192:192 + rows, :] = jnp.where(
+                parentI == nid, d, scr_ref[192:192 + rows, :])
+            leafd = jnp.where(parentL == nid, d, leafd)
+            return leafd
+
+        leafd = jax.lax.fori_loop(0, nmax - 1, depth_body, zeroR)
         leaf_len = jnp.where(n_sym == 1, 1, leafd)    # per sorted-leaf row
 
         # ---- canonical (len, sym) order + Kraft codes -------------------
@@ -249,13 +260,15 @@ def _encode_kernel(msg_ref, words_ref, size_ref, ok_ref):
         code_c = (incl - kraft) >> (8 - lc)           # exclusive prefix
 
         # ---- per-message-position (len, code) lookup --------------------
-        # one composite one-hot read per step (len 4b | code 8b | sym11)
+        # one composite record per step (len 4b | code 8b | sym11), read
+        # back from scratch by uniform row index
         canrec = (jnp.clip(len_c, 0, 8) << 19) | ((code_c & 0xFF) << 11) \
             | (sym_c & 0x7FF)
+        scr_ref[0:rows, :] = canrec
 
         def lut_body(c, carry):
             plen, pcode = carry
-            rec = _row(canrec, c, iota_r)
+            rec = scr_ref[pl.ds(c, 1), :]
             match = (msg11 == (rec & 0x7FF)) & (c < n_sym)
             plen = jnp.where(match, (rec >> 19) & 15, plen)
             pcode = jnp.where(match, (rec >> 11) & 0xFF, pcode)
@@ -295,71 +308,22 @@ def _encode_kernel(msg_ref, words_ref, size_ref, ok_ref):
         size = 3 + tree_size + (enc_bits + 7) // 8
         ok = ok & (size <= 255).astype(I32)
 
-        # composite per-row tree record for one one-hot read per step:
+        # composite per-row tree record (overwrites the LUT rows — the
+        # LUT loop is done with them):
         # grp_start(1b)<<28 | in_rows(1b)<<27 | gcnt(6b)<<21 |
         # len(4b)<<17 | (sym+1024)(11b)
         tree_rec = (grp_start.astype(I32) << 28) \
             | (in_rows.astype(I32) << 27) \
             | (jnp.clip(gcnt, 0, 63) << 21) | (lc << 17) | (sym_c & 0x7FF)
+        scr_ref[0:rows, :] = tree_rec
         # composite payload record: valid(1b)<<12 | len(4b)<<8 | code(8b)
         pay_rec = (validall.astype(I32) << 12) \
             | (jnp.clip(plen, 0, 8) << 8) | (pcode & 0xFF)
 
-        # ---- serialization: sequential bit-append machine ---------------
-        # Stream space matches the decoder's: bit-reversed bytes packed
-        # big-endian into words, appends fill each word from the MSB down.
-        def append(state, v, L):
-            """Append the L-bit value v (MSB-first in stream space); L
-            may be 0 (no-op) and varies per lane."""
-            W0, nb, wi, regfile = state
-            v = jnp.where(L > 0, v, 0)
-            sh = 32 - nb - L
-            # both branches evaluate: clamp the shift amounts nonnegative
-            W0 = W0 | jnp.where(sh >= 0, _shl(v, jnp.maximum(sh, 0)),
-                                _shr_l(v, jnp.maximum(-sh, 0)))
-            newnb = nb + L
-            spill = newnb >= 32
-            regfile = jnp.where((iota64 == wi) & spill, W0, regfile)
-            W0 = jnp.where(spill, _shl(v, 64 - newnb), W0)
-            wi = wi + spill.astype(I32)
-            nb = jnp.where(spill, newnb - 32, newnb)
-            return W0, nb, wi, regfile
-
-        st = (jnp.zeros((1, TILE), I32), jnp.zeros((1, TILE), I32),
-              jnp.zeros((1, TILE), I32), jnp.zeros((64, TILE), I32))
-        # 3-byte header as ONE 24-bit append (same bit sequence)
-        hdr24 = (_bitrev8(enc_bits & 0xFF) << 16) \
-            | (_bitrev8(_shr_l(enc_bits, 8) & 0xFF) << 8) \
-            | _bitrev8(tree_size & 0xFF)
-        st = append(st, hdr24, jnp.full((1, TILE), 24, I32))
-
-        def tree_body(c, st):
-            # one fused append per canonical row: [pad][group hdr][sym]
-            # (<= 7+8+11 = 26 bits; the field's leading pad bits are 0)
-            rec = _row(tree_rec, c, iota_r)
-            g_start = (rec >> 28) & 1
-            in_r = (rec >> 27) & 1
-            gc = (rec >> 21) & 63
-            ln = (rec >> 17) & 15
-            v11 = rec & 0x7FF
-            nb = st[1]
-            pad = (8 - (nb & 7)) & 7
-            hdr = _bitrev8(((ln - 1) << 5) | (gc - 1))
-            v = jnp.where(in_r > 0, _bitrev11(v11), 0)
-            v = v | jnp.where(g_start > 0, hdr << (in_r * 11), 0)
-            L = g_start * (pad + 8) + in_r * 11
-            return append(st, v, L)
-
-        st = jax.lax.fori_loop(0, nmax, tree_body, st)
-        # close the last group to its byte boundary
-        W0, nb, wi, regfile = st
-        st = append((W0, nb, wi, regfile), jnp.zeros((1, TILE), I32),
-                    (8 - (nb & 7)) & 7)
-
-        # payload rows appended in PAIRS: row 2p's code ahead of row
-        # 2p+1's in one <=16-bit append — halves the sequential step
-        # count. Pairing in place (row 2p holds the pair) keeps sublane
-        # shapes static.
+        # payload QUADS: rows 2p pair codes (2p, 2p+1) as before, then
+        # rows 4p combine two pairs into one <=32-bit append — 4 codes
+        # per sequential step. Quad values/lengths go to scratch for the
+        # uniform-row reads in the append loop.
         nxt_rec = _shift_up(pay_rec, 1)
         v0_ok = ((pay_rec >> 12) & 1) > 0
         v1_ok = ((nxt_rec >> 12) & 1) > 0
@@ -368,23 +332,93 @@ def _encode_kernel(msg_ref, words_ref, size_ref, ok_ref):
         c0 = jnp.where(v0_ok, pay_rec & 0xFF, 0)
         c1 = jnp.where(v1_ok, nxt_rec & 0xFF, 0)
         pair_rec = ((l0 + l1) << 16) | ((_shl(c0, l1) | c1) & 0xFFFF)
+        q2 = _shift_up(pair_rec, 2)
+        scr_ref[64:128, :] = _shl(pair_rec & 0xFFFF, q2 >> 16) \
+            | (q2 & 0xFFFF)
+        scr_ref[128:192, :] = (pair_rec >> 16) + (q2 >> 16)
 
-        def pay_body(p, st):
-            rec = _row(pair_rec, 2 * p, iota64)
-            return append(st, rec & 0xFFFF, rec >> 16)
+        # ---- serialization: sequential bit-append machine ---------------
+        # Stream space matches the decoder's: bit-reversed bytes packed
+        # big-endian into words, appends fill each word from the MSB down.
+        # The register file height specializes on the tile-max chunk size
+        # (known before any bit is appended): 16-word files cover every
+        # <=64 B chunk and make the per-append spill blend 4x cheaper.
+        def serialize(wrows):
+            iota_w = jax.lax.broadcasted_iota(I32, (wrows, TILE), 0)
 
-        st = jax.lax.fori_loop(0, (mlenmax + 1) // 2, pay_body, st)
-        W0, nb, wi, regfile = st
-        regfile = jnp.where(iota64 == wi, W0, regfile)   # final flush
-        return regfile, size, ok
+            def append(state, v, L):
+                """Append the L-bit value v (MSB-first in stream space);
+                L may be 0 (no-op) and varies per lane."""
+                W0, nb, wi, regfile = state
+                v = jnp.where(L > 0, v, 0)
+                sh = 32 - nb - L
+                # both branches evaluate: clamp the shifts nonnegative
+                W0 = W0 | jnp.where(sh >= 0, _shl(v, jnp.maximum(sh, 0)),
+                                    _shr_l(v, jnp.maximum(-sh, 0)))
+                newnb = nb + L
+                spill = newnb >= 32
+                regfile = jnp.where((iota_w == wi) & spill, W0, regfile)
+                W0 = jnp.where(spill, _shl(v, 64 - newnb), W0)
+                wi = wi + spill.astype(I32)
+                nb = jnp.where(spill, newnb - 32, newnb)
+                return W0, nb, wi, regfile
 
-    regfile, size, ok = jax.lax.cond(
+            st = (jnp.zeros((1, TILE), I32), jnp.zeros((1, TILE), I32),
+                  jnp.zeros((1, TILE), I32),
+                  jnp.zeros((wrows, TILE), I32))
+            # 3-byte header as ONE 24-bit append (same bit sequence)
+            hdr24 = (_bitrev8(enc_bits & 0xFF) << 16) \
+                | (_bitrev8(_shr_l(enc_bits, 8) & 0xFF) << 8) \
+                | _bitrev8(tree_size & 0xFF)
+            st = append(st, hdr24, jnp.full((1, TILE), 24, I32))
+
+            def tree_body(c, st):
+                # one fused append per canonical row: [pad][group hdr]
+                # [sym] (<= 7+8+11 = 26 bits; leading pad bits are 0)
+                rec = scr_ref[pl.ds(c, 1), :]
+                g_start = (rec >> 28) & 1
+                in_r = (rec >> 27) & 1
+                gc = (rec >> 21) & 63
+                ln = (rec >> 17) & 15
+                v11 = rec & 0x7FF
+                nb = st[1]
+                pad = (8 - (nb & 7)) & 7
+                hdr = _bitrev8(((ln - 1) << 5) | (gc - 1))
+                v = jnp.where(in_r > 0, _bitrev11(v11), 0)
+                v = v | jnp.where(g_start > 0, hdr << (in_r * 11), 0)
+                L = g_start * (pad + 8) + in_r * 11
+                return append(st, v, L)
+
+            st = jax.lax.fori_loop(0, nmax, tree_body, st)
+            # close the last group to its byte boundary
+            W0, nb, wi, regfile = st
+            st = append((W0, nb, wi, regfile), jnp.zeros((1, TILE), I32),
+                        (8 - (nb & 7)) & 7)
+
+            def pay_body(p, st):
+                v = scr_ref[pl.ds(64 + 4 * p, 1), :]
+                L = scr_ref[pl.ds(128 + 4 * p, 1), :]
+                return append(st, v, L)
+
+            st = jax.lax.fori_loop(0, (mlenmax + 3) // 4, pay_body, st)
+            W0, nb, wi, regfile = st
+            regfile = jnp.where(iota_w == wi, W0, regfile)  # final flush
+            # emit block-major [TILE, 64]: the in-VMEM transpose saves
+            # the downstream XLA relayout the compaction otherwise pays
+            rt = regfile.T
+            if wrows < 64:
+                rt = jnp.concatenate(
+                    [rt, jnp.zeros((TILE, 64 - wrows), I32)], axis=1)
+            return rt
+
+        wmax = jnp.max((size + 3) >> 2)
+        wordsT = jax.lax.cond(wmax <= 16, lambda: serialize(16),
+                              lambda: serialize(64))
+        return wordsT, size, ok
+
+    wordsT, size, ok = jax.lax.cond(
         nmax <= 16, lambda: tail(16), lambda: tail(64))
-
-    # emit block-major [TILE, 64]: the in-VMEM transpose saves the
-    # downstream XLA relayout (11 ms/4K frame) the stream compaction
-    # otherwise pays to get block-contiguous rows
-    words_ref[...] = regfile.T
+    words_ref[...] = wordsT
     size_ref[...] = size
     ok_ref[...] = ok
 
@@ -428,6 +462,7 @@ def encode_words(coeffs: jnp.ndarray, interpret: bool = False):
         out_specs=(pl.BlockSpec((TILE, 64), lambda i: (i, 0)),
                    pl.BlockSpec((1, TILE), lambda i: (0, i)),
                    pl.BlockSpec((1, TILE), lambda i: (0, i))),
+        scratch_shapes=[pltpu.VMEM((256, TILE), I32)],
         interpret=interpret,
     )(msgT)
     return words[:n], size[0, :n], ok[0, :n] != 0

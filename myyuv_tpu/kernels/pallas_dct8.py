@@ -24,8 +24,9 @@ layout only changes vector shapes, not the per-element op sequence
 
 Per-plane quantization tables ride as a [3*512, 1] input (value per
 element row, lane-broadcast — a [3, 8, 8] -> row-expanded layout built
-host-side) plus a per-tile plane id, so one kernel sweeps Y/U/V tiles of
-a frame whose planes are column-padded to tile multiples.
+host-side) plus PER-COLUMN plane ids ([1, NTP] i32), so one kernel sweeps
+a whole frame's Y/U/V blocks without tile-aligning the plane boundaries
+(a 4K frame's luma segment is 23,688 lane columns — not a tile multiple).
 """
 
 from __future__ import annotations
@@ -51,8 +52,8 @@ _IZZ = np.argsort(_ZZ)
 
 
 def _qt_select(qt_ref, pid_ref):
-    """[3*512, 1] element-row-expanded tables + plane id -> [512, 1]."""
-    pid = pid_ref[0, 0]
+    """[3*512, 1] row-expanded tables + [1, TP] col plane ids -> [512, TP]."""
+    pid = pid_ref[...]
     q0 = qt_ref[0:512, :]
     q1 = qt_ref[512:1024, :]
     q2 = qt_ref[1024:1536, :]
@@ -125,6 +126,30 @@ def _dequantize_idct_kernel8(co_ref, qt_ref, pid_ref, out_ref):
     out_ref[...] = jnp.clip(r, 0, 255)
 
 
+def pack_rows8(x: jnp.ndarray) -> jnp.ndarray:
+    """[n, R] element-major block rows -> [R*8, n//8] packed layout
+    (element e of block b at row 8e + b%8, lane column b//8)."""
+    n, r = x.shape
+    return x.T.reshape(r, n // 8, 8).transpose(0, 2, 1).reshape(
+        r * 8, n // 8)
+
+
+def unpack_rows8(xp: jnp.ndarray) -> jnp.ndarray:
+    """[R*8, np8] packed -> [np8*8, R] block-major rows."""
+    r8, np8 = xp.shape
+    return xp.reshape(r8 // 8, 8, np8).transpose(2, 1, 0).reshape(
+        np8 * 8, r8 // 8)
+
+
+def plane_pids(ny: int, nc: int, pad_cols: int = 0) -> jnp.ndarray:
+    """[1, ny//8 + 2*(nc//8) + pad_cols] i32 per-column plane ids for a
+    frame's packed Y|U|V layout (pad columns tagged plane 0)."""
+    return jnp.asarray(np.concatenate([
+        np.zeros(ny // 8, np.int32), np.ones(nc // 8, np.int32),
+        np.full(nc // 8, 2, np.int32),
+        np.zeros(pad_cols, np.int32)])[None])
+
+
 def expand_qtables(qts) -> jnp.ndarray:
     """[8, 8] tables (Y, U, V) -> [3*512, 1] f32 element-row expansion."""
     rows = [jnp.repeat(q.astype(F32).reshape(64), 8).reshape(512, 1)
@@ -141,7 +166,7 @@ def _call(kernel, x, qtx, pids, out_dtype, tile, interpret):
         grid=grid,
         in_specs=[pl.BlockSpec((512, tile), lambda i: (0, i)),
                   pl.BlockSpec((1536, 1), lambda i: (0, 0)),
-                  pl.BlockSpec((1, 1), lambda i: (0, i))],
+                  pl.BlockSpec((1, tile), lambda i: (0, i))],
         out_specs=pl.BlockSpec((512, tile), lambda i: (0, i)),
         interpret=interpret,
     )(x, qtx, pids)
@@ -153,7 +178,7 @@ def dct_quantize_packed(pix8: jnp.ndarray, qtx: jnp.ndarray,
                         interpret: bool = False) -> jnp.ndarray:
     """[512, NTP] i32 packed pixels -> [512, NTP] i32 message-order coeffs.
 
-    ``pids`` is [1, NTP // tile] i32 plane ids (0/1/2) per tile."""
+    ``pids`` is [1, NTP] i32 plane ids (0/1/2) per lane column."""
     return _call(_dct_quantize_kernel8, pix8, qtx, pids, I32,
                  tile, interpret)
 

@@ -35,7 +35,7 @@ def test_forward_matches_oracle(rng):
     pix8 = jnp.asarray(_pack(blocks.reshape(n, 64).astype(np.int32)))
     qtx = pallas_dct8.expand_qtables([jnp.asarray(qt_y), jnp.asarray(qt_u),
                                       jnp.asarray(qt_u)])
-    pids = jnp.asarray(np.array([[0, 1]], np.int32))
+    pids = jnp.asarray(np.repeat([0, 1], TILE).astype(np.int32)[None])
     out = np.asarray(pallas_dct8.dct_quantize_packed(
         pix8, qtx, pids, tile=TILE, interpret=True))
     got = _unpack(out)                      # [n, 64] message order
@@ -54,7 +54,7 @@ def test_inverse_matches_oracle(rng):
     co8 = jnp.asarray(_pack(msg))
     qtx = pallas_dct8.expand_qtables([jnp.asarray(qt_y), jnp.asarray(qt_y),
                                       jnp.asarray(qt_v)])
-    pids = jnp.asarray(np.array([[0, 2]], np.int32))
+    pids = jnp.asarray(np.repeat([0, 2], TILE).astype(np.int32)[None])
     out = np.asarray(pallas_dct8.dequantize_idct_packed(
         co8, qtx, pids, tile=TILE, interpret=True))
     got = _unpack(out).astype(np.uint8)
@@ -70,7 +70,7 @@ def test_roundtrip_packed(rng):
     qt = scalar.plane_qtable(0, 75)
     pix8 = jnp.asarray(_pack(blocks.reshape(n, 64).astype(np.int32)))
     qtx = pallas_dct8.expand_qtables([jnp.asarray(qt)] * 3)
-    pids = jnp.asarray(np.zeros((1, 1), np.int32))
+    pids = jnp.asarray(np.zeros((1, TILE), np.int32))
     co = pallas_dct8.dct_quantize_packed(pix8, qtx, pids, tile=TILE,
                                          interpret=True)
     rec = np.asarray(pallas_dct8.dequantize_idct_packed(

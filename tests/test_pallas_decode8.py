@@ -63,6 +63,36 @@ def test_small_table_branch_decode(rng):
     np.testing.assert_array_equal(np.asarray(out), c)
 
 
+def test_packed_decode_idct_chain(rng):
+    """decode_words8_packed feeds dequantize_idct_packed with no relayout
+    and reproduces the flat decode + scalar IDCT exactly (the TPU
+    decompress route, engine/device_stream._decode_idct_packed)."""
+    from myyuv_tpu.entropy.pallas_decode import _pack_words
+    from myyuv_tpu.kernels import pallas_dct8, scalar
+
+    n = 8 * TILE
+    coeffs = _blocks(rng, n)
+    np.clip(coeffs, -1023, 1023, out=coeffs)
+    sizes, content = encode_blocks_py(coeffs)
+    lanes = DCTPlaneStream(sizes, content).to_lanes()
+    words, _ = _pack_words(jnp.asarray(lanes))
+    wordsp = pallas_decode8.pack8_rows(words)
+    outp, ok = pallas_decode8.decode_words8_packed(
+        wordsp, interpret=True, tile=TILE)
+    assert np.asarray(ok).all()
+    qt = scalar.plane_qtable(0, 50)
+    qtx = pallas_dct8.expand_qtables([jnp.asarray(qt)] * 3)
+    pids = jnp.zeros((1, outp.shape[1]), jnp.int32)
+    pixp = pallas_dct8.dequantize_idct_packed(outp, qtx, pids, tile=TILE,
+                                              interpret=True)
+    np8 = pixp.shape[1]
+    got = np.asarray(pixp).reshape(64, 8, np8).transpose(2, 1, 0).reshape(
+        np8 * 8, 64)[:n].astype(np.uint8)
+    want = scalar.dequantize_idct_blocks(
+        coeffs.reshape(n, 8, 8), qt).reshape(n, 64)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_matches_unpacked_on_golden_stream():
     """Packed and unpacked kernels agree on a real golden-plane slice."""
     from pathlib import Path

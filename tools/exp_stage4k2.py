@@ -50,9 +50,9 @@ def enc(coeffs):
     return words, sizes, ok
 
 
-@functools.partial(jax.jit, static_argnames=("capr_pb",))
-def compact(words, sizes, capr_pb=ds.CAPR_TOTAL_DEFAULT):
-    return ds._compact_words(words, sizes, jnp.bool_(True), capr_pb)
+@functools.partial(jax.jit, static_argnames=("capr8_pb",))
+def compact(words, sizes, capr8_pb=ds.CAPR8_DEFAULT):
+    return ds._compact_words(words, sizes, jnp.bool_(True), capr8_pb)
 
 
 @functools.partial(jax.jit, static_argnames=("cw",))

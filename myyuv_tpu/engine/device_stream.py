@@ -167,6 +167,61 @@ def _inv_transform(coeffs_flat, qt, precision: str):
         precision=precision)).reshape(n, 64)
 
 
+def _use_packed(precision: str, h: int, w: int) -> bool:
+    """Trace-time gate for the word-packed TPU routes: exact precision,
+    codec-legal geometry (divisible by 16 => plane-pure lane columns and
+    word-aligned rows), non-CPU backend."""
+    return (precision == "exact" and h % 16 == 0 and w % 16 == 0
+            and (h // 8) * (w // 8) % 8 == 0
+            and (h // 16) * (w // 16) % 8 == 0
+            and jax.default_backend() not in ("cpu",))
+
+
+def _compress_words_packed(y, u, v, qt_y, qt_u, qt_v, b: int, h: int,
+                           w: int, capr8_pb: int):
+    """Word-packed on-chip compress: pixel quad words -> packed DCT ->
+    coefficient pairs -> pair-input Huffman encoder -> compaction.
+
+    Every inter-stage tensor stays at information density (4 pixels or
+    2 coefficients per i32), which is what makes the relayouts cheap —
+    the [N, 64]-shaped hops of the flat route cost 10.8 + 5.9 ms/4K
+    frame in pure HBM shuffling (tools/exp_packdct.py)."""
+    from ..entropy import pallas_encode as pe
+    from ..kernels import pallas_dct8 as p8
+    ny = (h // 8) * (w // 8)
+    nc = (h // 16) * (w // 16)
+    n = b * (ny + 2 * nc)
+    if b == 1:
+        parts = [p8.pack_pixel_words(p) for p in (y, u, v)]
+    else:
+        yw = p8.pack_pixel_words(y.reshape(b * h, w))
+        uw = p8.pack_pixel_words(u.reshape(b * (h // 2), w // 2))
+        vw = p8.pack_pixel_words(v.reshape(b * (h // 2), w // 2))
+        ny8, nc8 = ny // 8, nc // 8
+        parts = []
+        for f in range(b):
+            parts += [yw[:, f * ny8:(f + 1) * ny8],
+                      uw[:, f * nc8:(f + 1) * nc8],
+                      vw[:, f * nc8:(f + 1) * nc8]]
+    xw = jnp.concatenate(parts, axis=1)
+    padc = (-(n // 8)) % p8.TILE
+    if padc:
+        xw = jnp.concatenate(
+            [xw, jnp.zeros((128, padc), jnp.int32)], axis=1)
+    qtx = p8.expand_qtables((qt_y, qt_u, qt_v))
+    pat = np.concatenate([
+        np.zeros(ny // 8, np.int32), np.ones(nc // 8, np.int32),
+        np.full(nc // 8, 2, np.int32)])
+    pids = jnp.asarray(np.concatenate(
+        [np.tile(pat, b), np.zeros(padc, np.int32)])[None])
+    cp = p8.dct_quantize_words(xw, qtx, pids)            # [256, ntp]
+    ntp = cp.shape[1]
+    pairsT = cp.reshape(32, 8, ntp).transpose(0, 2, 1).reshape(
+        32, ntp * 8)[:, :n]
+    words, sizes, ok = pe.encode_words_pairs(pairsT)
+    return _compact_words(words, sizes, jnp.all(ok), capr8_pb)
+
+
 @functools.partial(jax.jit, static_argnames=("precision", "capr8_pb"))
 def compress_frame(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                    qt_y: jnp.ndarray, qt_u: jnp.ndarray, qt_v: jnp.ndarray,
@@ -186,6 +241,10 @@ def compress_frame(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     64-words/block dense lane canvas, and the 4-word slice granularity
     amortizes TPU gather cost (22.5 ms vs 53 ms per-word on a 4K plane).
     """
+    h, w = y.shape
+    if _use_packed(precision, h, w):
+        return _compress_words_packed(y, u, v, qt_y, qt_u, qt_v,
+                                      1, h, w, capr8_pb)
     by = kdev.plane_to_blocks(y)
     bu = kdev.plane_to_blocks(u)
     bv = kdev.plane_to_blocks(v)
@@ -278,21 +337,15 @@ def _expand_window8(content4, sizes_r, cw: int):
         0, 3, 2, 1).reshape(cw * 8, n8 // 8)
 
 
-def _unplane_packed(seg, ph: int, pw: int):
-    """[512, n//8] packed pixel columns -> [ph, pw] u8 plane."""
-    from ..kernels import pallas_dct8 as p8
-    n = seg.shape[1] * 8
-    rows = p8.unpack_rows8(seg).astype(jnp.uint8)
-    return kdev.blocks_to_plane(rows.reshape(n, 8, 8), ph, pw)
-
-
 def _decode_idct_packed(Rp, qt_y, qt_u, qt_v, ny: int, nc: int, b: int,
                         h: int, w: int):
     """Packed window words -> (y, u, v, ok[n]) with ZERO inter-kernel
     relayouts: the Huffman decoder's [512, NTP] message-order output is
-    exactly the packed IDCT kernel's input layout (pallas_dct8), so the
-    only relayout in the whole decompress is the final packed->plane
-    move. Requires ny, nc divisible by 8 (plane-pure lane columns)."""
+    exactly the packed IDCT kernel's input layout (pallas_dct8), the
+    IDCT emits pixel QUAD WORDS ([128, NTP], 4 px/i32), and the only
+    relayout in the whole decompress is the final word->plane move at
+    information density. Requires ny, nc divisible by 8 (plane-pure
+    lane columns)."""
     from ..entropy import pallas_decode8 as pd8
     from ..kernels import pallas_dct8 as p8
     n = b * (ny + 2 * nc)
@@ -309,20 +362,20 @@ def _decode_idct_packed(Rp, qt_y, qt_u, qt_v, ny: int, nc: int, b: int,
     pids = jnp.asarray(np.concatenate(
         [np.tile(pat, b),
          np.zeros(ntp + padc - n // 8, np.int32)])[None])
-    pixp = p8.dequantize_idct_packed(outp, qtx, pids)
+    pixw = p8.dequantize_idct_words(outp, qtx, pids)     # [128, ntp]
     nf8 = (ny + 2 * nc) // 8
     segs = {0: [], 1: [], 2: []}
     for f in range(b):
         base = f * nf8
-        segs[0].append(pixp[:, base:base + ny // 8])
-        segs[1].append(pixp[:, base + ny // 8:base + (ny + nc) // 8])
-        segs[2].append(pixp[:, base + (ny + nc) // 8:base + nf8])
+        segs[0].append(pixw[:, base:base + ny // 8])
+        segs[1].append(pixw[:, base + ny // 8:base + (ny + nc) // 8])
+        segs[2].append(pixw[:, base + (ny + nc) // 8:base + nf8])
     cat = [s[0] if b == 1 else jnp.concatenate(s, axis=1)
            for s in (segs[0], segs[1], segs[2])]
-    y = _unplane_packed(cat[0], b * h, w).reshape(-1, h, w)
-    u = _unplane_packed(cat[1], b * (h // 2), w // 2).reshape(
+    y = p8.unpack_pixel_words(cat[0], b * h, w).reshape(-1, h, w)
+    u = p8.unpack_pixel_words(cat[1], b * (h // 2), w // 2).reshape(
         -1, h // 2, w // 2)
-    v = _unplane_packed(cat[2], b * (h // 2), w // 2).reshape(
+    v = p8.unpack_pixel_words(cat[2], b * (h // 2), w // 2).reshape(
         -1, h // 2, w // 2)
     if b == 1:
         y, u, v = y[0], u[0], v[0]
@@ -400,7 +453,10 @@ def compress_batch(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                    capr8_pb: int = CAPR8_DEFAULT):
     """[B, H, W] (+2x [B, H/2, W/2]) u8 -> (content4, sizes [B*Nf], total
     bytes, ok) — the whole batch compressed on-chip in one executable."""
-    b = y.shape[0]
+    b, h, w = y.shape
+    if _use_packed(precision, h, w):
+        return _compress_words_packed(y, u, v, qt_y, qt_u, qt_v,
+                                      b, h, w, capr8_pb)
     by = kdev.plane_to_blocks(y)                 # [B, ny, 8, 8]
     bu = kdev.plane_to_blocks(u)
     bv = kdev.plane_to_blocks(v)

@@ -116,24 +116,33 @@ def _row(x, r, iota):
     return jnp.sum(jnp.where(iota == r, x, 0), axis=0, keepdims=True)
 
 
-def _encode_kernel(msg_ref, words_ref, size_ref, ok_ref, scr_ref):
-    """msg [64, TILE] i32 zigzag-ordered coefficients ->
-    words [TILE, 64] i32 (bit-reversed big-endian packed stream,
-    block-major), size [1, TILE] i32 chunk bytes, ok [1, TILE] i32.
+def _encode_kernel(pair_ref, words_ref, size_ref, ok_ref, scr_ref):
+    """pair [32, TILE] i32 zigzag-ordered coefficient PAIRS (row p holds
+    messages 2p | 2p+1 << 16 — the layout the word-packed DCT kernel
+    emits) -> words [TILE, 64] i32 (bit-reversed big-endian packed
+    stream, block-major), size [1, TILE] i32 chunk bytes, ok [1, TILE].
 
     ``scr_ref`` is [256, TILE] VMEM scratch holding the per-step record
     tables (canonical LUT, tree records, payload quads, interior depths):
     the sequential loops read them back through UNIFORM dynamic row
     slices (``ref[pl.ds(c, 1)]``) instead of one-hot row reductions —
     the loop index is the same for every lane, so each read is O(1)
-    vector work (the trick pallas_decode8 uses for its symbol stores)."""
-    msg = msg_ref[...]
+    vector work (the trick pallas_decode8 uses for its symbol stores).
+    The pair layout halves the HBM read and every per-message-position
+    full-height op (LUT compare, payload record build)."""
+    pw = pair_ref[...]
+    lo = (pw << 16) >> 16                             # messages 2p
+    hi = pw >> 16                                     # messages 2p+1
+    iota32 = jax.lax.broadcasted_iota(I32, (32, TILE), 0)
     iota64 = jax.lax.broadcasted_iota(I32, (64, TILE), 0)
 
     # ---- message trim (Huffman.cpp:174-203) -----------------------------
-    mlen = jnp.max(jnp.where(msg != 0, iota64 + 1, 0), axis=0, keepdims=True)
+    mlen = jnp.max(jnp.maximum(
+        jnp.where(lo != 0, 2 * iota32 + 1, 0),
+        jnp.where(hi != 0, 2 * iota32 + 2, 0)), axis=0, keepdims=True)
     mlen = jnp.maximum(mlen, 1)                      # all-zero -> one 0 sym
-    validall = iota64 < mlen                          # [64, TILE]
+    vlo = 2 * iota32 < mlen                           # [32, TILE]
+    vhi = 2 * iota32 + 1 < mlen
 
     # ---- distinct symbols + counts via a value sort ---------------------
     # Sorting the trimmed message groups equal symbols into runs: run
@@ -141,8 +150,10 @@ def _encode_kernel(msg_ref, words_ref, size_ref, ok_ref, scr_ref):
     # One bitonic (21 stages) + two log-scans replace the round-1 64-step
     # compare-all loop (~6x fewer vector ops for this section); the
     # (count, symbol) multiset is identical, so the canonical output is
-    # byte-identical.
-    vals = jnp.where(validall, msg + 1024, BIG)       # 11-bit symbol space
+    # byte-identical. Row order within vals is irrelevant to the sort,
+    # so the lo/hi halves concatenate as blocks (no interleave needed).
+    vals = jnp.concatenate([jnp.where(vlo, lo + 1024, BIG),
+                            jnp.where(vhi, hi + 1024, BIG)], axis=0)
     svals = _bitonic(vals, iota64)
     valid_s = svals < BIG
     prevv = _shift_down(svals, 1)
@@ -165,7 +176,8 @@ def _encode_kernel(msg_ref, words_ref, size_ref, ok_ref, scr_ref):
     # a [16, TILE] variant (one-hot reads/writes and the canonical
     # bitonic are 3-4x cheaper) or the general [64, TILE] one.
     nmax = jnp.max(n_sym)                             # scalar loop bound
-    msg11 = msg & 0x7FF
+    lo11 = lo & 0x7FF
+    hi11 = hi & 0x7FF
     mlenmax = jnp.max(mlen)
 
     def tail(rows):
@@ -267,18 +279,24 @@ def _encode_kernel(msg_ref, words_ref, size_ref, ok_ref, scr_ref):
         scr_ref[0:rows, :] = canrec
 
         def lut_body(c, carry):
-            plen, pcode = carry
+            pl_l, pc_l, pl_h, pc_h = carry
             rec = scr_ref[pl.ds(c, 1), :]
-            match = (msg11 == (rec & 0x7FF)) & (c < n_sym)
-            plen = jnp.where(match, (rec >> 19) & 15, plen)
-            pcode = jnp.where(match, (rec >> 11) & 0xFF, pcode)
-            return plen, pcode
+            sym = rec & 0x7FF
+            live = c < n_sym
+            m_l = (lo11 == sym) & live
+            m_h = (hi11 == sym) & live
+            pl_l = jnp.where(m_l, (rec >> 19) & 15, pl_l)
+            pc_l = jnp.where(m_l, (rec >> 11) & 0xFF, pc_l)
+            pl_h = jnp.where(m_h, (rec >> 19) & 15, pl_h)
+            pc_h = jnp.where(m_h, (rec >> 11) & 0xFF, pc_h)
+            return pl_l, pc_l, pl_h, pc_h
 
-        plen, pcode = jax.lax.fori_loop(
-            0, nmax, lut_body,
-            (jnp.zeros((64, TILE), I32), jnp.zeros((64, TILE), I32)))
-        enc_bits = jnp.sum(jnp.where(validall, plen, 0),
-                           axis=0, keepdims=True)
+        z32 = jnp.zeros((32, TILE), I32)
+        pl_l, pc_l, pl_h, pc_h = jax.lax.fori_loop(
+            0, nmax, lut_body, (z32, z32, z32, z32))
+        l0 = jnp.where(vlo, pl_l, 0)
+        l1 = jnp.where(vhi, pl_h, 0)
+        enc_bits = jnp.sum(l0 + l1, axis=0, keepdims=True)
 
         # ---- group structure over canonical rows (Huffman.cpp:300-316) --
         prev_len = _shift_down(len_c, 1) + jnp.where(iota_r == 0, -1, 0)
@@ -316,26 +334,18 @@ def _encode_kernel(msg_ref, words_ref, size_ref, ok_ref, scr_ref):
             | (in_rows.astype(I32) << 27) \
             | (jnp.clip(gcnt, 0, 63) << 21) | (lc << 17) | (sym_c & 0x7FF)
         scr_ref[0:rows, :] = tree_rec
-        # composite payload record: valid(1b)<<12 | len(4b)<<8 | code(8b)
-        pay_rec = (validall.astype(I32) << 12) \
-            | (jnp.clip(plen, 0, 8) << 8) | (pcode & 0xFF)
 
-        # payload QUADS: rows 2p pair codes (2p, 2p+1) as before, then
-        # rows 4p combine two pairs into one <=32-bit append — 4 codes
-        # per sequential step. Quad values/lengths go to scratch for the
-        # uniform-row reads in the append loop.
-        nxt_rec = _shift_up(pay_rec, 1)
-        v0_ok = ((pay_rec >> 12) & 1) > 0
-        v1_ok = ((nxt_rec >> 12) & 1) > 0
-        l0 = jnp.where(v0_ok, (pay_rec >> 8) & 15, 0)
-        l1 = jnp.where(v1_ok, (nxt_rec >> 8) & 15, 0)
-        c0 = jnp.where(v0_ok, pay_rec & 0xFF, 0)
-        c1 = jnp.where(v1_ok, nxt_rec & 0xFF, 0)
+        # payload QUADS: the input pair rows combine code (2p, 2p+1)
+        # directly; adjacent pair rows then merge into one <=32-bit
+        # append — 4 codes per sequential step. Quad values/lengths go
+        # to scratch for the uniform-row reads in the append loop.
+        c0 = jnp.where(vlo, pc_l, 0) & 0xFF
+        c1 = jnp.where(vhi, pc_h, 0) & 0xFF
         pair_rec = ((l0 + l1) << 16) | ((_shl(c0, l1) | c1) & 0xFFFF)
-        q2 = _shift_up(pair_rec, 2)
-        scr_ref[64:128, :] = _shl(pair_rec & 0xFFFF, q2 >> 16) \
+        q2 = _shift_up(pair_rec, 1)                   # next pair row
+        scr_ref[64:96, :] = _shl(pair_rec & 0xFFFF, q2 >> 16) \
             | (q2 & 0xFFFF)
-        scr_ref[128:192, :] = (pair_rec >> 16) + (q2 >> 16)
+        scr_ref[96:128, :] = (pair_rec >> 16) + (q2 >> 16)
 
         # ---- serialization: sequential bit-append machine ---------------
         # Stream space matches the decoder's: bit-reversed bytes packed
@@ -396,8 +406,8 @@ def _encode_kernel(msg_ref, words_ref, size_ref, ok_ref, scr_ref):
                         (8 - (nb & 7)) & 7)
 
             def pay_body(p, st):
-                v = scr_ref[pl.ds(64 + 4 * p, 1), :]
-                L = scr_ref[pl.ds(128 + 4 * p, 1), :]
+                v = scr_ref[pl.ds(64 + 2 * p, 1), :]
+                L = scr_ref[pl.ds(96 + 2 * p, 1), :]
                 return append(st, v, L)
 
             st = jax.lax.fori_loop(0, (mlenmax + 3) // 4, pay_body, st)
@@ -434,38 +444,50 @@ def _unpack_words(words: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def encode_words(coeffs: jnp.ndarray, interpret: bool = False):
-    """[N, 64] int16 coefficients -> ([N, 64] i32 packed words
+def encode_words_pairs(pairsT: jnp.ndarray, interpret: bool = False):
+    """[32, N] i32 message-order coefficient pairs (row p holds messages
+    2p | 2p+1 << 16; columns are blocks) -> ([N, 64] i32 packed words
     block-major, [N] sizes, [N] ok).
 
     Words are in the kernel stream space (bit-reversed bytes packed
     big-endian) — exactly what the Pallas decoder consumes and what the
     word-aligned device interchange stores; the byte-exact on-disk stream
     is one cheap elementwise conversion away (native repack or
-    _unpack_words). Block-major layout so the downstream compaction reads
-    chunk rows without a relayout."""
-    n = coeffs.shape[0]
-    zz = jnp.asarray(np.asarray(ZIGZAG, np.int32))
-    msg = coeffs.astype(I32)[:, zz]                   # [N, 64] zigzag order
+    _unpack_words). The pair layout is what the word-packed DCT kernel
+    emits after an unpack8 relayout (kernels/pallas_dct8
+    dct_quantize_words), so the transform->entropy hop moves 2 bytes per
+    coefficient instead of 4."""
+    n = pairsT.shape[1]
     pad = (-n) % TILE
     if pad:
-        msg = jnp.concatenate([msg, jnp.zeros((pad, 64), I32)], axis=0)
-    msgT = msg.T                                      # [64, N+pad]
-    grid = (msgT.shape[1] // TILE,)
+        pairsT = jnp.concatenate(
+            [pairsT, jnp.zeros((32, pad), I32)], axis=1)
+    ntp = pairsT.shape[1]
+    grid = (ntp // TILE,)
     words, size, ok = pl.pallas_call(
         _encode_kernel,
-        out_shape=(jax.ShapeDtypeStruct((msgT.shape[1], 64), I32),
-                   jax.ShapeDtypeStruct((1, msgT.shape[1]), I32),
-                   jax.ShapeDtypeStruct((1, msgT.shape[1]), I32)),
+        out_shape=(jax.ShapeDtypeStruct((ntp, 64), I32),
+                   jax.ShapeDtypeStruct((1, ntp), I32),
+                   jax.ShapeDtypeStruct((1, ntp), I32)),
         grid=grid,
-        in_specs=[pl.BlockSpec((64, TILE), lambda i: (0, i))],
+        in_specs=[pl.BlockSpec((32, TILE), lambda i: (0, i))],
         out_specs=(pl.BlockSpec((TILE, 64), lambda i: (i, 0)),
                    pl.BlockSpec((1, TILE), lambda i: (0, i)),
                    pl.BlockSpec((1, TILE), lambda i: (0, i))),
         scratch_shapes=[pltpu.VMEM((256, TILE), I32)],
         interpret=interpret,
-    )(msgT)
+    )(pairsT)
     return words[:n], size[0, :n], ok[0, :n] != 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def encode_words(coeffs: jnp.ndarray, interpret: bool = False):
+    """[N, 64] int16 coefficients (element order) -> ([N, 64] i32 packed
+    words block-major, [N] sizes, [N] ok) via the pair kernel."""
+    zz = jnp.asarray(np.asarray(ZIGZAG, np.int32))
+    msg = coeffs.astype(I32)[:, zz]                   # [N, 64] zigzag order
+    pairs = (msg[:, 0::2] & 0xFFFF) | (msg[:, 1::2] << 16)   # [N, 32]
+    return encode_words_pairs(pairs.T, interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -190,3 +190,142 @@ def dequantize_idct_packed(coef8: jnp.ndarray, qtx: jnp.ndarray,
     """[512, NTP] i32 message-order coeffs -> [512, NTP] i32 pixels."""
     return _call(_dequantize_idct_kernel8, coef8, qtx, pids, I32,
                  tile, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Word-packed variants: pixels 4-per-i32, coefficients 2-per-i32
+# ---------------------------------------------------------------------------
+#
+# The [512, NTP] element-major interfaces move 4 HBM bytes per pixel
+# byte; the relayouts around them were the measured bottleneck
+# (tools/exp_packdct.py: pack 10.8 ms, unpackT 5.9 ms, unplane 7.2 ms
+# per 4K frame vs <6 ms kernel compute). These variants keep every
+# inter-stage tensor at information density: pixels ride as [128, NTP]
+# quad-byte words (little-endian byte order — what
+# jax.lax.bitcast_convert_type produces from the u8 plane), quantized
+# coefficients as [256, NTP] i16 PAIRS in message order (rows 8p+s hold
+# messages 2p | 2p+1 << 16 — the entropy encoder's pair input,
+# entropy/pallas_encode.encode_words_pairs). The kernels unpack/pack
+# with shifts: a few extra VPU ops for 2-4x less relayout traffic.
+
+
+def _dct_quantize_kernel8p(x_ref, qt_ref, pid_ref, out_ref):
+    """x [128, TP] i32 pixel quad words -> out [256, TP] i32 coefficient
+    pairs in message order (same math as _dct_quantize_kernel8)."""
+    qp = _qt_select(qt_ref, pid_ref).astype(F32)
+    z = qp[0, 0] * F32(0)
+
+    xs = [None] * 64
+    for k in range(16):
+        w = x_ref[8 * k:8 * k + 8, :]
+        for j in range(4):
+            xs[4 * k + j] = ((w >> (8 * j)) & 0xFF).astype(F32) - F32(128)
+    ts = [None] * 64
+    for i in range(8):
+        for j in range(8):
+            acc = (F32(float(_C_NP[i, 0])) * xs[j]) + z
+            for k in range(1, 8):
+                acc = acc + ((F32(float(_C_NP[i, k])) * xs[8 * k + j]) + z)
+            ts[8 * i + j] = acc
+    cs = [None] * 64
+    for i in range(8):
+        for j in range(8):
+            acc = (ts[8 * i] * F32(float(_C_NP[j, 0]))) + z
+            for k in range(1, 8):
+                acc = acc + ((ts[8 * i + k] * F32(float(_C_NP[j, k]))) + z)
+            cs[8 * i + j] = acc
+    coef = jnp.concatenate([cs[int(_ZZ[p])] for p in range(64)], axis=0)
+    qz = jnp.concatenate([qp[8 * int(_ZZ[p]):8 * int(_ZZ[p]) + 8, :]
+                          for p in range(64)], axis=0)
+    q = kdev._exact_quantize(coef, qz).astype(I32)
+    pairs = [(q[16 * p:16 * p + 8, :] & 0xFFFF)
+             | (q[16 * p + 8:16 * p + 16, :] << 16) for p in range(32)]
+    out_ref[...] = jnp.concatenate(pairs, axis=0)
+
+
+def _dequantize_idct_kernel8p(co_ref, qt_ref, pid_ref, out_ref):
+    """co [512, TP] i32 message-order coeffs -> out [128, TP] i32 pixel
+    quad words (same math as _dequantize_idct_kernel8)."""
+    qp = _qt_select(qt_ref, pid_ref).astype(F32)
+    z = qp[0, 0] * F32(0)
+
+    xs = [co_ref[8 * int(_IZZ[e]):8 * int(_IZZ[e]) + 8, :]
+          .astype(F32) * qp[8 * e:8 * e + 8, :] for e in range(64)]
+    ts = [None] * 64
+    for i in range(8):
+        for j in range(8):
+            acc = (F32(float(_C_NP[0, i])) * xs[j]) + z
+            for k in range(1, 8):
+                acc = acc + ((F32(float(_C_NP[k, i])) * xs[8 * k + j]) + z)
+            ts[8 * i + j] = acc
+    ps = [None] * 64
+    for i in range(8):
+        for j in range(8):
+            acc = (ts[8 * i] * F32(float(_C_NP[0, j]))) + z
+            for k in range(1, 8):
+                acc = acc + ((ts[8 * i + k] * F32(float(_C_NP[k, j]))) + z)
+            ps[8 * i + j] = acc
+    pix = jnp.concatenate(ps, axis=0)
+    r = jnp.clip(kdev.round_half_away(pix).astype(I32) + 128, 0, 255)
+    words = [r[32 * k:32 * k + 8, :]
+             | (r[32 * k + 8:32 * k + 16, :] << 8)
+             | (r[32 * k + 16:32 * k + 24, :] << 16)
+             | (r[32 * k + 24:32 * k + 32, :] << 24) for k in range(16)]
+    out_ref[...] = jnp.concatenate(words, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def dct_quantize_words(xw: jnp.ndarray, qtx: jnp.ndarray,
+                       pids: jnp.ndarray, tile: int = TILE,
+                       interpret: bool = False) -> jnp.ndarray:
+    """[128, NTP] i32 pixel quad words -> [256, NTP] i32 message-order
+    coefficient pairs."""
+    ntp = xw.shape[1]
+    return pl.pallas_call(
+        _dct_quantize_kernel8p,
+        out_shape=jax.ShapeDtypeStruct((256, ntp), I32),
+        grid=(ntp // tile,),
+        in_specs=[pl.BlockSpec((128, tile), lambda i: (0, i)),
+                  pl.BlockSpec((1536, 1), lambda i: (0, 0)),
+                  pl.BlockSpec((1, tile), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((256, tile), lambda i: (0, i)),
+        interpret=interpret,
+    )(xw, qtx, pids)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def dequantize_idct_words(coef8: jnp.ndarray, qtx: jnp.ndarray,
+                          pids: jnp.ndarray, tile: int = TILE,
+                          interpret: bool = False) -> jnp.ndarray:
+    """[512, NTP] i32 message-order coeffs -> [128, NTP] pixel words."""
+    ntp = coef8.shape[1]
+    return pl.pallas_call(
+        _dequantize_idct_kernel8p,
+        out_shape=jax.ShapeDtypeStruct((128, ntp), I32),
+        grid=(ntp // tile,),
+        in_specs=[pl.BlockSpec((512, tile), lambda i: (0, i)),
+                  pl.BlockSpec((1536, 1), lambda i: (0, 0)),
+                  pl.BlockSpec((1, tile), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((128, tile), lambda i: (0, i)),
+        interpret=interpret,
+    )(coef8, qtx, pids)
+
+
+def pack_pixel_words(plane: jnp.ndarray) -> jnp.ndarray:
+    """[H, W] u8 plane -> [128, N/8] i32 pixel quad words (packed-8
+    layout, 4 consecutive row pixels per word, little-endian)."""
+    h, w = plane.shape
+    n = (h // 8) * (w // 8)
+    v = jax.lax.bitcast_convert_type(
+        plane.reshape(h, w // 4, 4), jnp.int32)         # [H, W/4]
+    b16 = v.reshape(h // 8, 8, w // 8, 2).transpose(0, 2, 1, 3).reshape(
+        n, 16)
+    return pack_rows8(b16)
+
+
+def unpack_pixel_words(xw: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
+    """[128, n/8] i32 pixel quad words -> [ph, pw] u8 plane."""
+    n = xw.shape[1] * 8
+    b16 = unpack_rows8(xw)                              # [n, 16]
+    b = jax.lax.bitcast_convert_type(b16, jnp.uint8)    # [n, 16, 4]
+    return kdev.blocks_to_plane(b.reshape(n, 8, 8), ph, pw)

@@ -148,8 +148,8 @@ def bench_device_4k(planes_np, qts):
     y, u, v = [jnp.asarray(p) for p in planes_np]
 
     def rt():
-        content4, sizes, total, ok = ds.compress_frame(y, u, v, *qts)
-        ry, ru, rv, dok = ds.decompress_frame(content4, sizes, *qts,
+        cA, cB, sizes, total, ok = ds.compress_frame(y, u, v, *qts)
+        ry, ru, rv, dok = ds.decompress_frame(cA, cB, sizes, *qts,
                                               h=h, w=w)
         return ry, total, ok & dok
 
@@ -224,20 +224,21 @@ def bench_stages(planes_np, qts):
     out["huffman_encode"] = _time(lambda: j_enc(cflat), reps=5)
 
     def comp(c):
-        words, sizes, ok = ds._encode_words_dispatch(c)
-        return ds._compact_words(words, sizes, jnp.all(ok))
+        words, aT, sizes, ok = ds._encode_words_dispatch(c)
+        return ds._compact_split(words, aT, sizes, jnp.all(ok))
     j_comp = jax.jit(comp)
-    content4, sizes, total, ok = j_comp(cflat)
-    full = _time(lambda: j_comp(cflat)[0], reps=5)
+    cA, cB, sizes, total, ok = j_comp(cflat)
+    full = _time(lambda: j_comp(cflat)[1], reps=5)
     out["compact"] = max(0.0, full - out["huffman_encode"])
 
-    j_win = jax.jit(lambda c4, s: ds._expand_window(
-        c4, ds._chunk_rows(s.astype(jnp.int32)), 16))
-    R = j_win(content4, sizes)
-    out["window"] = _time(lambda: j_win(content4, sizes), reps=5)
-    j_dec = jax.jit(lambda r: ds._decode_words_dispatch(r)[0])
-    j_dec(R)
-    out["huffman_decode"] = _time(lambda: j_dec(R), reps=5)
+    j_win = jax.jit(lambda a, b, s: ds._expand_split(
+        a, b, ds._chunk_rows(s.astype(jnp.int32)), 16))
+    W0, Wc = j_win(cA, cB, sizes)
+    out["window"] = _time(lambda: j_win(cA, cB, sizes)[0], reps=5)
+    j_dec = jax.jit(
+        lambda a, c: ds._decode_words8_dispatch(a, c, n)[0])
+    j_dec(W0, Wc)
+    out["huffman_decode"] = _time(lambda: j_dec(W0, Wc), reps=5)
     j_idct = jax.jit(lambda c: kdev.dequantize_idct_plane(
         c.reshape(-1, 8, 8), qt, h, w))
     j_idct(coeffs)

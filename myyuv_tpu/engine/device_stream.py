@@ -4,18 +4,21 @@ The end-to-end TPU path: pixels go up once, compressed bytes come down —
 nothing else crosses the host<->device link (which is a narrow tunnel on
 single-chip dev boxes and a PCIe/DCN hop in production):
 
-  compress:   plane u8 --h2d--> [DCT+quant] -> [encode_lanes] ->
-              [on-device compaction via exclusive prefix sum]
-              --d2h--> (chunk_sizes, packed content)
-  decompress: (chunk_sizes, content) --h2d--> [on-device lane expansion]
-              -> [decode_lanes] -> [dequant+IDCT] -> plane u8 (stays on
-              device for metrics, or one d2h for file output)
+  compress:   plane u8 --h2d--> [DCT+quant] -> [Huffman encode] ->
+              [split-stream compaction] --d2h--> (sizes, A, B)
+  decompress: (sizes, A, B) --h2d--> [window rebuild] -> [Huffman
+              decode] -> [dequant+IDCT] -> plane u8 (stays on device
+              for metrics, or one d2h for file output)
 
 The ragged<->dense conversions are the device analogs of
-DCTYUVPlane::getContentPos (DCT.cpp:21-33): a prefix-sum gather/scatter
-over the block axis. Content buffers are statically sized at CAP_BYTES_PER
-block (4x the typical q50 chunk); overflow is detected and the caller
-falls back to the host path (engine.pipeline with native entropy).
+DCTYUVPlane::getContentPos (DCT.cpp:21-33). The frame/batch paths use
+the SPLIT-STREAM interchange: region A = every chunk's first 32 bytes
+(dense [8, N], no index work at all), region B = the continuation rows
+of chunks >32 B only, so the index-bound ragged gather/scatter touches
+a few percent of the blocks instead of all of them. The plane-level and
+sharded paths keep the aligned-row interchange (content4). Capacities
+are static; overflow is detected and callers retry roomier or fall back
+to the host path (engine.pipeline with native entropy).
 """
 
 from __future__ import annotations
@@ -47,6 +50,32 @@ ALIGN_W = 8
 CAPR8_DEFAULT = 10              # 1.25 rows = 40 B/block average (q50+9%)
 CAPR8_ROOMY = 24                # 3 rows: the per-block-cap worst case
 
+# SPLIT-STREAM interchange (frame/batch paths): region A holds every
+# chunk's first 32 bytes ([8, N] word-major — a free second output of the
+# Pallas encoder's register file), region B only the continuation rows
+# of chunks >32 B (1.2% of blocks at q50). B is SEGMENT-PADDED: blocks
+# group into 64-block segments, each owning a static ``slots`` rows, so
+# every slot->block map is a small [nseg, 64, slots] one-hot
+# compare-reduce — NO N-index scatter anywhere (an ``.at[offs].max``
+# over all N blocks costs ~5 ms/4K frame; these maps cost <1).
+# ``capb8_pb`` budgets B in eighth-rows per block (slots = 8*capb8_pb).
+SEG = 64                        # blocks per B segment
+CAPB8_DEFAULT = 4               # 32 slots/segment (golden q50 max: 27)
+CAPB8_MID = 16                  # 128 slots (q90-class streams: max ~79)
+CAPB8_ROOMY = 56                # 448 slots: every legal stream
+CAPB8_LADDER = (CAPB8_DEFAULT, CAPB8_MID, CAPB8_ROOMY)
+
+
+def slots_for(capb8_pb: int = CAPB8_DEFAULT) -> int:
+    """B-region slots (32-byte rows) per 64-block segment."""
+    return SEG * capb8_pb // 8
+
+
+def capb_total(n: int, capb8_pb: int = CAPB8_DEFAULT) -> int:
+    """B-region capacity in 8-word (32-byte) rows for n blocks."""
+    return -(-n // SEG) * slots_for(capb8_pb)
+
+
 def capr_total(n: int, capr8_pb: int = CAPR8_DEFAULT) -> int:
     """Interchange capacity in ALIGN_W-word rows for n blocks."""
     return -(-n * capr8_pb // 8)
@@ -72,7 +101,7 @@ def _decode_lanes_dispatch(lanes):
 
 def _encode_words_dispatch(coeffs):
     """[N, 64] i16 -> (words [N, 64] i32 kernel-space block-major,
-    sizes [N], ok [N]).
+    aT [8, N] i32 A-region words, sizes [N], ok [N]).
 
     Pallas on TPU; on CPU the XLA v1 encoder's lanes are packed to words
     (elementwise) so tests run everywhere."""
@@ -84,7 +113,7 @@ def _encode_words_dispatch(coeffs):
     from ..entropy import pallas_decode
     lanes, sizes, ok = edev.encode_lanes(coeffs)
     words, _ = pallas_decode._pack_words(lanes)
-    return words.T, sizes, ok
+    return words.T, words[:8], sizes, ok
 
 
 def _decode_words_dispatch(words):
@@ -178,7 +207,7 @@ def _use_packed(precision: str, h: int, w: int) -> bool:
 
 
 def _compress_words_packed(y, u, v, qt_y, qt_u, qt_v, b: int, h: int,
-                           w: int, capr8_pb: int):
+                           w: int, capb8_pb: int):
     """Word-packed on-chip compress: pixel quad words -> packed DCT ->
     coefficient pairs -> pair-input Huffman encoder -> compaction.
 
@@ -218,33 +247,32 @@ def _compress_words_packed(y, u, v, qt_y, qt_u, qt_v, b: int, h: int,
     ntp = cp.shape[1]
     pairsT = cp.reshape(32, 8, ntp).transpose(0, 2, 1).reshape(
         32, ntp * 8)[:, :n]
-    words, sizes, ok = pe.encode_words_pairs(pairsT)
-    return _compact_words(words, sizes, jnp.all(ok), capr8_pb)
+    words, aT, sizes, ok = pe.encode_words_pairs(pairsT)
+    return _compact_split(words, aT, sizes, jnp.all(ok), capb8_pb)
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "capr8_pb"))
+@functools.partial(jax.jit, static_argnames=("precision", "capb8_pb"))
 def compress_frame(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                    qt_y: jnp.ndarray, qt_u: jnp.ndarray, qt_v: jnp.ndarray,
                    precision: str = "exact",
-                   capr8_pb: int = CAPR8_DEFAULT):
-    """Full-frame on-chip compress -> (content4, sizes, total, ok).
+                   capb8_pb: int = CAPB8_DEFAULT):
+    """Full-frame on-chip compress -> (contentA, contentB, sizes, total,
+    ok): the SPLIT-STREAM device interchange.
 
-    ``content4`` is the word-aligned device interchange: each block's chunk
-    padded to a 16-byte row boundary, bytes bit-reversed and packed
-    big-endian into i32 words (the entropy kernels' native stream space).
-    The exact on-disk byte stream is one linear host pass away
-    (native.repack_words). ``total`` is the exact (unaligned) byte total
-    for ratio metrics. Blocks ordered Y, U, V.
-
-    The compaction is a row gather (marks + cumsum + 4-word row pick), not
-    a scatter: it touches only the ~total packed rows instead of the
-    64-words/block dense lane canvas, and the 4-word slice granularity
-    amortizes TPU gather cost (22.5 ms vs 53 ms per-word on a 4K plane).
+    ``contentA`` [8, N] i32 holds every chunk's first 32 bytes word-major
+    (bytes bit-reversed, packed big-endian — the entropy kernels' native
+    stream space); it is a direct output of the Pallas encoder's register
+    file, so producing it costs nothing. ``contentB`` [capb*8] i32 holds
+    only the continuation rows of chunks >32 B, stream-compacted — the
+    one index-bound gather left in the compress path touches ~capb rows
+    instead of ~N (1.2% of q50 blocks have a second row). ``total`` is
+    the exact byte total; the on-disk stream is one linear host pass away
+    (native.repack_split). Blocks ordered Y, U, V.
     """
     h, w = y.shape
     if _use_packed(precision, h, w):
         return _compress_words_packed(y, u, v, qt_y, qt_u, qt_v,
-                                      1, h, w, capr8_pb)
+                                      1, h, w, capb8_pb)
     by = kdev.plane_to_blocks(y)
     bu = kdev.plane_to_blocks(u)
     bv = kdev.plane_to_blocks(v)
@@ -253,13 +281,121 @@ def compress_frame(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
         _fwd_transform(by.reshape(ny, 64), qt_y, precision),
         _fwd_transform(bu.reshape(nc, 64), qt_u, precision),
         _fwd_transform(bv.reshape(nc, 64), qt_v, precision)])
-    words, sizes, ok = _encode_words_dispatch(coeffs)
-    return _compact_words(words, sizes, jnp.all(ok), capr8_pb)
+    words, aT, sizes, ok = _encode_words_dispatch(coeffs)
+    return _compact_split(words, aT, sizes, jnp.all(ok), capb8_pb)
 
 
 def _chunk_rows(sizes):
     """16-byte rows each chunk occupies in the aligned interchange."""
     return (sizes + 4 * ALIGN_W - 1) // (4 * ALIGN_W)
+
+
+def _seg_maps(sizes_r):
+    """Per-segment continuation-row geometry, TRANSPOSED so the big
+    nseg axis rides the lanes: (ovfT [SEG, nseg], exclusive in-segment
+    offsets [SEG, nseg], totals [nseg])."""
+    n = sizes_r.shape[0]
+    nseg = -(-n // SEG)
+    ovf = jnp.maximum(sizes_r.astype(jnp.int32) - 1, 0)
+    if nseg * SEG != n:
+        ovf = jnp.concatenate(
+            [ovf, jnp.zeros(nseg * SEG - n, jnp.int32)])
+    ovfT = ovf.reshape(nseg, SEG).T
+    offT = jnp.cumsum(ovfT, axis=0) - ovfT
+    return ovfT, offT, jnp.sum(ovfT, axis=0)
+
+
+def _slot_maps(ovfT, offT, slots: int):
+    """Per-slot owning block (in-segment id, -1 when none yet) and
+    within-chunk row (1-based), both [slots, nseg] — scatter-free: one
+    [slots, SEG, nseg] one-hot compare-reduce plus log-step running
+    maxes along the small slot axis (static row shifts; every op keeps
+    nseg on the lanes)."""
+    nseg = ovfT.shape[1]
+    t = jnp.arange(slots, dtype=jnp.int32)[:, None]
+    startm = (offT[None] == t[:, None]) & (ovfT[None] > 0)
+    bid = jnp.sum(
+        startm * (jnp.arange(SEG, dtype=jnp.int32)[None, :, None] + 1),
+        axis=1) - 1                                    # [slots, nseg]
+    blk = bid
+    st = jnp.where(bid >= 0, t, -1)
+    s = 1
+    while s < slots:
+        neg = jnp.full((s, nseg), -1, jnp.int32)
+        blk = jnp.maximum(blk, jnp.concatenate([neg, blk[:-s]], axis=0))
+        st = jnp.maximum(st, jnp.concatenate([neg, st[:-s]], axis=0))
+        s <<= 1
+    r_of = t - st + 1
+    return blk, r_of
+
+
+def _compact_split(words, aT, sizes, ok, capb8_pb: int = CAPB8_DEFAULT):
+    """(words [N, 64] block-major canvas, aT [8, N] A-region) ->
+    (contentA [8, N], contentB [nseg*slots*8] i32, sizes, total bytes,
+    ok).
+
+    A is pass-through (the encoder already emitted it); B gathers the
+    continuation rows into the segment-padded region — ~capb indices
+    instead of the ~N of the old aligned-row compaction
+    (tools/exp_split3.py)."""
+    n = sizes.shape[0]
+    sizes = sizes.astype(jnp.int32)
+    sizes_r = _chunk_rows(sizes)
+    total = jnp.sum(sizes)
+    slots = slots_for(capb8_pb)
+    ovfT, offT, seg_tot = _seg_maps(sizes_r)
+    blk, r_of = _slot_maps(ovfT, offT, slots)          # [slots, nseg]
+    nseg = ovfT.shape[1]
+    seg = jnp.arange(nseg, dtype=jnp.int32)[None, :]
+    gsrc = (seg * SEG + jnp.clip(blk, 0, SEG - 1)) * 8 \
+        + jnp.clip(r_of, 1, 7)
+    rows = words.reshape(n * 8, ALIGN_W)
+    B = rows[jnp.clip(gsrc.T.reshape(-1), 0, n * 8 - 1)]
+    return (aT, B.reshape(-1), sizes, total,
+            ok & jnp.all(seg_tot <= slots))
+
+
+def _expand_split(contentA, contentB, sizes_r, cw: int):
+    """Split interchange -> packed-8 decode windows [cw*8, nseg*8].
+
+    Window row 0 of every block IS region A (one pure relayout, no
+    gather); rows 1..cw/8-1 come from a ~capb-row scatter of region B
+    into a zero canvas (rows past a chunk's extent stay zero — the
+    decoders consume exactly enc_bits+tree bits, so they never read
+    them). Every segment's canvas strip carries ``slots`` trailing sink
+    rows so invalid slots get monotone, collision-free targets (the
+    sorted/unique scatter hints stay honest). Blocks whose chunk
+    exceeds cw bytes flip the caller's ok."""
+    from ..entropy.pallas_decode import _FILLER_W0
+
+    n = sizes_r.shape[0]
+    cwr = cw // ALIGN_W
+    ovfT, offT, seg_tot = _seg_maps(sizes_r)
+    nseg = ovfT.shape[1]
+    slots = contentB.shape[0] // (nseg * ALIGN_W)
+    B = contentB.reshape(nseg * slots, ALIGN_W)
+    blk, r_of = _slot_maps(ovfT, offT, slots)          # [slots, nseg]
+    t = jnp.arange(slots, dtype=jnp.int32)[:, None]
+    valid = (t < seg_tot[None, :]) & (blk >= 0) & (r_of <= cwr - 1)
+    seg = jnp.arange(nseg, dtype=jnp.int32)[None, :]
+    stride = SEG * (cwr - 1) + slots            # + per-segment sink rows
+    tgt = seg * stride + jnp.where(
+        valid, jnp.clip(blk, 0, SEG - 1) * (cwr - 1) + r_of - 1,
+        SEG * (cwr - 1) + t)
+    Wcs = jnp.zeros((nseg * stride, ALIGN_W), jnp.int32).at[
+        tgt.T.reshape(-1)].set(B, mode="drop", indices_are_sorted=True,
+                               unique_indices=True)
+    Wc = Wcs.reshape(nseg, stride, ALIGN_W)[:, :SEG * (cwr - 1)]
+    npad = nseg * SEG
+    A = contentA
+    if npad != n:
+        fill = jnp.zeros((8, npad - n), jnp.int32).at[0].set(_FILLER_W0)
+        A = jnp.concatenate([A, fill], axis=1)
+    n8 = npad // 8
+    W0 = A.reshape(8, n8, 8).transpose(0, 2, 1).reshape(64, n8)
+    Wcp = Wc.reshape(n8, 8, cwr - 1, ALIGN_W).transpose(
+        2, 3, 1, 0).reshape((cwr - 1) * 64, n8)
+    return W0, Wcp    # joined in VMEM by the decoder kernels
 
 
 def _compact_words(words, sizes, ok, capr8_pb: int = CAPR8_DEFAULT):
@@ -337,8 +473,8 @@ def _expand_window8(content4, sizes_r, cw: int):
         0, 3, 2, 1).reshape(cw * 8, n8 // 8)
 
 
-def _decode_idct_packed(Rp, qt_y, qt_u, qt_v, ny: int, nc: int, b: int,
-                        h: int, w: int):
+def _decode_idct_packed(W0, Wc, qt_y, qt_u, qt_v, ny: int, nc: int,
+                        b: int, h: int, w: int):
     """Packed window words -> (y, u, v, ok[n]) with ZERO inter-kernel
     relayouts: the Huffman decoder's [512, NTP] message-order output is
     exactly the packed IDCT kernel's input layout (pallas_dct8), the
@@ -349,7 +485,7 @@ def _decode_idct_packed(Rp, qt_y, qt_u, qt_v, ny: int, nc: int, b: int,
     from ..entropy import pallas_decode8 as pd8
     from ..kernels import pallas_dct8 as p8
     n = b * (ny + 2 * nc)
-    outp, ok = pd8.decode_words8_packed(Rp)
+    outp, ok = pd8.decode_words8_packed_split(W0, Wc)
     ntp = outp.shape[1]
     padc = (-ntp) % p8.TILE
     if padc:
@@ -382,8 +518,9 @@ def _decode_idct_packed(Rp, qt_y, qt_u, qt_v, ny: int, nc: int, b: int,
     return y, u, v, ok[:n]
 
 
-def _decode_words8_dispatch(wordsp, n: int):
-    """[cw*8, ceil(n/8)] packed words -> ([n, 64] i16, [n] ok).
+def _decode_words8_dispatch(W0, Wc, n: int):
+    """Two-region packed windows (W0 [64, NP], Wc [(cw-8)*8, NP]) ->
+    ([n, 64] i16, [n] ok).
 
     Packed Pallas kernels on TPU; on CPU the words unpack back to the
     flat layout and run the XLA v1 decoder so tests cover the same
@@ -392,8 +529,15 @@ def _decode_words8_dispatch(wordsp, n: int):
 
     if jax.default_backend() not in ("cpu",):
         from ..entropy import pallas_decode8
-        coeffs, ok = pallas_decode8.decode_words8(wordsp)
-        return coeffs[:n], ok[:n]
+        out, ok = pallas_decode8._decode8_raw(
+            W0, Wc, False, pallas_decode8.TILE)
+        ntp = out.shape[1]
+        from ..entropy.pallas_decode8 import _IZZ
+        m = out[:512].reshape(64, 8, ntp).transpose(2, 1, 0).reshape(
+            ntp * 8, 64)
+        return m[:, _IZZ].astype(jnp.int16)[:n], (
+            ok.T.reshape(ntp * 8)[:n] != 0)
+    wordsp = jnp.concatenate([W0, Wc], axis=0)
     cw8, np8 = wordsp.shape
     words = wordsp.reshape(cw8 // 8, 8, np8).transpose(0, 2, 1).reshape(
         cw8 // 8, np8 * 8)
@@ -402,11 +546,13 @@ def _decode_words8_dispatch(wordsp, n: int):
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "cw", "precision"))
-def decompress_frame(content4: jnp.ndarray, sizes: jnp.ndarray,
+def decompress_frame(contentA: jnp.ndarray, contentB: jnp.ndarray,
+                     sizes: jnp.ndarray,
                      qt_y: jnp.ndarray, qt_u: jnp.ndarray,
                      qt_v: jnp.ndarray, h: int, w: int, cw: int = 16,
                      precision: str = "exact"):
-    """Full-frame on-chip decompress -> (y, u, v, ok).
+    """Full-frame on-chip decompress of the split-stream interchange ->
+    (y, u, v, ok).
 
     ``cw`` is the static per-block word capacity for the decoder's window
     tensor: 16 (64-byte chunks) covers every stream up to roughly q85; the
@@ -416,13 +562,13 @@ def decompress_frame(content4: jnp.ndarray, sizes: jnp.ndarray,
     nc = (h // 16) * (w // 16)
     sizes = sizes.astype(jnp.int32)
     sizes_r = _chunk_rows(sizes)
-    Rp = _expand_window8(content4, sizes_r, cw)          # [cw*8, ~N/8]
+    W0, Wc = _expand_split(contentA, contentB, sizes_r, cw)
     if (precision == "exact" and ny % 8 == 0 and nc % 8 == 0
             and jax.default_backend() not in ("cpu",)):
         y, u, v, ok = _decode_idct_packed(
-            Rp, qt_y, qt_u, qt_v, ny, nc, 1, h, w)
+            W0, Wc, qt_y, qt_u, qt_v, ny, nc, 1, h, w)
         return y, u, v, jnp.all(ok & (sizes_r <= cw // ALIGN_W))
-    coeffs, ok = _decode_words8_dispatch(Rp, ny + 2 * nc)
+    coeffs, ok = _decode_words8_dispatch(W0, Wc, ny + 2 * nc)
     ok = ok & (sizes_r <= cw // ALIGN_W)
     py = _inv_transform(coeffs[:ny], qt_y, precision)
     pu = _inv_transform(coeffs[ny:ny + nc], qt_u, precision)
@@ -446,17 +592,18 @@ def decompress_frame(content4: jnp.ndarray, sizes: jnp.ndarray,
 # files with plain slicing.
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "capr8_pb"))
+@functools.partial(jax.jit, static_argnames=("precision", "capb8_pb"))
 def compress_batch(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                    qt_y: jnp.ndarray, qt_u: jnp.ndarray, qt_v: jnp.ndarray,
                    precision: str = "exact",
-                   capr8_pb: int = CAPR8_DEFAULT):
-    """[B, H, W] (+2x [B, H/2, W/2]) u8 -> (content4, sizes [B*Nf], total
-    bytes, ok) — the whole batch compressed on-chip in one executable."""
+                   capb8_pb: int = CAPB8_DEFAULT):
+    """[B, H, W] (+2x [B, H/2, W/2]) u8 -> (contentA, contentB, sizes
+    [B*Nf], total bytes, ok) — the whole batch compressed on-chip in one
+    executable (split-stream interchange)."""
     b, h, w = y.shape
     if _use_packed(precision, h, w):
         return _compress_words_packed(y, u, v, qt_y, qt_u, qt_v,
-                                      b, h, w, capr8_pb)
+                                      b, h, w, capb8_pb)
     by = kdev.plane_to_blocks(y)                 # [B, ny, 8, 8]
     bu = kdev.plane_to_blocks(u)
     bv = kdev.plane_to_blocks(v)
@@ -469,28 +616,29 @@ def compress_batch(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                               cu.reshape(b, nc, 64),
                               cv.reshape(b, nc, 64)],
                              axis=1).reshape(-1, 64)
-    words, sizes, ok = _encode_words_dispatch(coeffs)
-    return _compact_words(words, sizes, jnp.all(ok), capr8_pb)
+    words, aT, sizes, ok = _encode_words_dispatch(coeffs)
+    return _compact_split(words, aT, sizes, jnp.all(ok), capb8_pb)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("b", "h", "w", "cw", "precision"))
-def decompress_batch(content4: jnp.ndarray, sizes: jnp.ndarray,
+def decompress_batch(contentA: jnp.ndarray, contentB: jnp.ndarray,
+                     sizes: jnp.ndarray,
                      qt_y: jnp.ndarray, qt_u: jnp.ndarray,
                      qt_v: jnp.ndarray, b: int, h: int, w: int,
                      cw: int = 16, precision: str = "exact"):
-    """Batch interchange -> ([B, H, W], 2x [B, H/2, W/2], ok)."""
+    """Batch split interchange -> ([B, H, W], 2x [B, H/2, W/2], ok)."""
     ny = (h // 8) * (w // 8)
     nc = (h // 16) * (w // 16)
     sizes = sizes.astype(jnp.int32)
     sizes_r = _chunk_rows(sizes)
-    Rp = _expand_window8(content4, sizes_r, cw)
+    W0, Wc = _expand_split(contentA, contentB, sizes_r, cw)
     if (precision == "exact" and ny % 8 == 0 and nc % 8 == 0
             and jax.default_backend() not in ("cpu",)):
         y, u, v, ok = _decode_idct_packed(
-            Rp, qt_y, qt_u, qt_v, ny, nc, b, h, w)
+            W0, Wc, qt_y, qt_u, qt_v, ny, nc, b, h, w)
         return y, u, v, jnp.all(ok & (sizes_r <= cw // ALIGN_W))
-    coeffs, ok = _decode_words8_dispatch(Rp, b * (ny + 2 * nc))
+    coeffs, ok = _decode_words8_dispatch(W0, Wc, b * (ny + 2 * nc))
     ok = ok & (sizes_r <= cw // ALIGN_W)
     cf = coeffs.reshape(b, ny + 2 * nc, 64)
     py = _inv_transform(cf[:, :ny].reshape(b * ny, 64), qt_y, precision)
@@ -508,10 +656,10 @@ def roundtrip_batch(y, u, v, qtables, precision: str = "exact"):
     """On-chip roundtrip of a [B, ...] frame batch; returns device arrays
     (recon planes, total compressed bytes, ok)."""
     b, h, w = y.shape
-    content4, sizes, total, ok = compress_batch(
+    cA, cB, sizes, total, ok = compress_batch(
         y, u, v, *qtables, precision=precision)
     ry, ru, rv, dok = decompress_batch(
-        content4, sizes, *qtables, b=b, h=h, w=w, precision=precision)
+        cA, cB, sizes, *qtables, b=b, h=h, w=w, precision=precision)
     return (ry, ru, rv), total, ok & dok
 
 
@@ -538,20 +686,19 @@ def compress_batch_to_streams(planes_np, qtables_np,
     b, h, w = y.shape
     ny = (h // 8) * (w // 8)
     nc = (h // 16) * (w // 16)
-    content4 = sizes = total = None
-    for capr8_pb in (CAPR8_DEFAULT, CAPR8_ROOMY):
-        content4, sizes, total, ok = compress_batch(
+    cA = cB = sizes = None
+    for capb8_pb in CAPB8_LADDER:
+        cA, cB, sizes, total, ok = compress_batch(
             jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
             *[jnp.asarray(q) for q in qtables_np], precision=precision,
-            capr8_pb=capr8_pb)
+            capb8_pb=capb8_pb)
         if bool(ok):
             break
     else:
         raise BitstreamError("device compress overflow/failure")
     sizes_np = np.asarray(sizes).astype(np.int32)
-    totalw = int(native._chunk_words(sizes_np, ALIGN_W).sum())
-    words_np = pull_words(content4, totalw)
-    packed = native.repack_words(words_np, sizes_np, align=ALIGN_W)
+    aT_np, b_np = pull_split(cA, cB)
+    packed = native.repack_split(aT_np, b_np, sizes_np)
     return batch_streams_split(sizes_np, packed, b, ny, nc)
 
 
@@ -568,7 +715,7 @@ def compress_plane(plane: jnp.ndarray, qtable: jnp.ndarray,
     """
     coeffs = kdev.dct_quantize_plane(plane, qtable, precision=precision)
     n = coeffs.shape[0]
-    words, sizes, ok = _encode_words_dispatch(coeffs.reshape(n, 64))
+    words, _aT, sizes, ok = _encode_words_dispatch(coeffs.reshape(n, 64))
     return _compact_words(words, sizes, jnp.all(ok), capr8_pb)
 
 
@@ -628,6 +775,14 @@ def pull_words(content4_dev: jnp.ndarray, totalw: int) -> np.ndarray:
     return np.asarray(content4_dev[:padded])[:nw]
 
 
+def pull_split(contentA_dev: jnp.ndarray, contentB_dev: jnp.ndarray):
+    """Pull the split-stream artifact -> (aT i32 [8, N], b i32
+    [nseg*slots, 8] segment-padded)."""
+    aT = np.asarray(contentA_dev)
+    b = np.asarray(contentB_dev).reshape(-1, ALIGN_W)
+    return aT, b
+
+
 def _split_planes(sizes_np, packed, ny, nc):
     out = []
     pos = 0
@@ -643,28 +798,27 @@ def compress_frame_to_streams(planes_np, qtables_np,
                               precision: str = "exact"):
     """Host API: (y, u, v) planes -> [(sizes u8, content u8)] per plane.
 
-    Pulls the word-aligned interchange stream (~8% larger than the packed
-    bytes) and repacks to the exact on-disk layout in one native pass.
+    Pulls the split-stream interchange (region A + live B rows) and
+    repacks to the exact on-disk layout in one native pass.
     """
     from .. import native
     h, w = planes_np[0].shape
     ny = (h // 8) * (w // 8)
     nc = (h // 16) * (w // 16)
-    content4 = sizes = total = None
-    for capr8_pb in (CAPR8_DEFAULT, CAPR8_ROOMY):
-        content4, sizes, total, ok = compress_frame(
+    cA = cB = sizes = None
+    for capb8_pb in CAPB8_LADDER:
+        cA, cB, sizes, total, ok = compress_frame(
             jnp.asarray(planes_np[0]), jnp.asarray(planes_np[1]),
             jnp.asarray(planes_np[2]),
             *[jnp.asarray(q) for q in qtables_np],
-            precision=precision, capr8_pb=capr8_pb)
+            precision=precision, capb8_pb=capb8_pb)
         if bool(ok):
             break
     else:
         raise BitstreamError("device compress overflow/failure")
     sizes_np = np.asarray(sizes).astype(np.int32)
-    totalw = int(native._chunk_words(sizes_np, ALIGN_W).sum())
-    words_np = pull_words(content4, totalw)
-    packed = native.repack_words(words_np, sizes_np, align=ALIGN_W)
+    aT_np, b_np = pull_split(cA, cB)
+    packed = native.repack_split(aT_np, b_np, sizes_np)
     return _split_planes(sizes_np, packed, ny, nc)
 
 
@@ -680,18 +834,35 @@ def _pad_interchange(words_np: np.ndarray, n: int) -> np.ndarray:
     raise BitstreamError("stream larger than device capacity")
 
 
+def _slots_needed(sizes_np: np.ndarray) -> int:
+    """Smallest static slot geometry (default, then roomy) whose
+    per-segment capacity covers the stream; raises when even roomy is
+    exceeded."""
+    sizes_r = (sizes_np.astype(np.int64) + 4 * ALIGN_W - 1) \
+        // (4 * ALIGN_W)
+    ovf = np.maximum(sizes_r - 1, 0)
+    pad = (-ovf.size) % SEG
+    if pad:
+        ovf = np.concatenate([ovf, np.zeros(pad, np.int64)])
+    segmax = int(ovf.reshape(-1, SEG).sum(axis=1).max(initial=0))
+    for capb8_pb in CAPB8_LADDER:
+        if segmax <= slots_for(capb8_pb):
+            return slots_for(capb8_pb)
+    raise BitstreamError("stream larger than device capacity")
+
+
 def decompress_streams_to_frame(streams, qtables_np, h: int, w: int,
                                 precision: str = "exact"):
     """Host API: per-plane (sizes, content) -> (y, u, v) uint8 planes."""
     from .. import native
     sizes_np = np.concatenate([s.astype(np.int32) for s, _ in streams])
     content_np = np.concatenate([c for _, c in streams])
-    n = sizes_np.shape[0]
-    words_np = native.expand_words(content_np, sizes_np, align=ALIGN_W)
-    padded = _pad_interchange(words_np, n)
+    slots = _slots_needed(sizes_np)
+    aT_np, b_np = native.expand_split(content_np, sizes_np, slots)
     cw = 16 if int(sizes_np.max(initial=0)) <= 64 else 64
     y, u, v, ok = decompress_frame(
-        jnp.asarray(padded), jnp.asarray(sizes_np),
+        jnp.asarray(aT_np), jnp.asarray(b_np.reshape(-1)),
+        jnp.asarray(sizes_np),
         *[jnp.asarray(q) for q in qtables_np], h=h, w=w, cw=cw,
         precision=precision)
     if not bool(ok):

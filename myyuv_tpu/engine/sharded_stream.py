@@ -61,7 +61,7 @@ def make_sharded_plane_codec(mesh, precision: str = "exact"):
     def compress_body(blocks, qtable):
         coeffs = kdev.dct_quantize(blocks, qtable, precision=precision)
         n_loc = coeffs.shape[0]
-        words, sizes, ok = ds._encode_words_dispatch(
+        words, _aT, sizes, ok = ds._encode_words_dispatch(
             coeffs.reshape(n_loc, 64))
         content4, sizes, _total, okk = ds._compact_words(
             words, sizes, jnp.all(ok))

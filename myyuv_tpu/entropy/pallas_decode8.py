@@ -89,17 +89,19 @@ def _read_group(R, cw, widx):
     return V
 
 
-def _tree_kernel8(words_ref, meta_ref, sym2_ref, counts_ref, bad_ref,
+def _tree_kernel8(w0_ref, wc_ref, meta_ref, sym2_ref, counts_ref, bad_ref,
                   rec_ref):
     """Packed flat tree parse.
 
-    words [CW*8, TP] packed stream words, meta rows 8..15 = tree_size ->
-    sym2 [256, TP] (paired 11-bit symbol values: rows 8p..8p+7 hold
-    symbols 2p | 2p+1 << 16), counts [72, TP] (9 groups of per-length
-    symbol counts), bad [8, TP]. rec is VMEM scratch for the unpaired
-    symbol rows."""
-    R = words_ref[...]
-    cw = words_ref.shape[0] // 8
+    w0 [64, TP] + wc [(CW-8)*8, TP] packed stream words (the split-stream
+    interchange's two window regions — concatenated IN VMEM so the XLA
+    side never materializes the joined window), meta rows 8..15 =
+    tree_size -> sym2 [256, TP] (paired 11-bit symbol values: rows
+    8p..8p+7 hold symbols 2p | 2p+1 << 16), counts [72, TP] (9 groups of
+    per-length symbol counts), bad [8, TP]. rec is VMEM scratch for the
+    unpaired symbol rows."""
+    R = jnp.concatenate([w0_ref[...], wc_ref[...]], axis=0)
+    cw = (w0_ref.shape[0] + wc_ref.shape[0]) // 8
     tree_size = meta_ref[8:16, :]
     tree_bits = tree_size * 8
 
@@ -165,16 +167,16 @@ def _tree_kernel8(words_ref, meta_ref, sym2_ref, counts_ref, bad_ref,
     bad_ref[...] = bad
 
 
-def _payload_kernel8(words_ref, meta_ref, sym2_ref, counts_ref, tbad_ref,
-                     out_ref, ok_ref):
+def _payload_kernel8(w0_ref, wc_ref, meta_ref, sym2_ref, counts_ref,
+                     tbad_ref, out_ref, ok_ref):
     """Packed canonical payload decode, 3-step groups.
 
     out [528, TP]: rows 8p..8p+7 hold message symbol p (zigzag order;
     the XLA side un-permutes). 22 groups of 3 steps cover the 64-symbol
     format bound; the while loop exits at the first group with no live
     lane."""
-    R = words_ref[...]
-    cw = words_ref.shape[0] // 8
+    R = jnp.concatenate([w0_ref[...], wc_ref[...]], axis=0)
+    cw = (w0_ref.shape[0] + wc_ref.shape[0]) // 8
     enc_bits = meta_ref[0:8, :]
     tree_size = meta_ref[8:16, :]
     counts = [counts_ref[8 * l:8 * l + 8, :] for l in range(9)]
@@ -268,46 +270,54 @@ def pack8_rows(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(r, n // 8, 8).transpose(0, 2, 1).reshape(r * 8, n // 8)
 
 
-def _decode8_raw(wordsp: jnp.ndarray, interpret: bool, tile: int):
+def _decode8_raw(W0: jnp.ndarray, Wc: jnp.ndarray, interpret: bool,
+                 tile: int):
     """Shared kernel driver -> (out [528, NTP] i32, ok [8, NTP] i32).
 
-    NTP is NP padded up to the tile; out rows 8p..8p+7 hold message
-    symbol p for the 8 blocks of each lane column (zigzag order)."""
-    cw8, np8 = wordsp.shape
-    cw = cw8 // 8
-    n = np8 * 8
+    The window arrives as two regions (W0 [64, NP] = every chunk's first
+    8 words, Wc [(CW-8)*8, NP] = the continuation words) that the
+    kernels join in VMEM. NTP is NP padded up to the tile; out rows
+    8p..8p+7 hold message symbol p for the 8 blocks of each lane column
+    (zigzag order)."""
+    np8 = W0.shape[1]
+    cw8 = W0.shape[0] + Wc.shape[0]
     pad = (-np8) % tile
     if pad:
-        fill = jnp.zeros((cw8, pad), I32).at[0:8, :].set(_FILLER_W0)
-        wordsp = jnp.concatenate([wordsp, fill], axis=1)
-    ntp = wordsp.shape[1]
+        fill0 = jnp.zeros((64, pad), I32).at[0:8, :].set(_FILLER_W0)
+        W0 = jnp.concatenate([W0, fill0], axis=1)
+        Wc = jnp.concatenate(
+            [Wc, jnp.zeros((Wc.shape[0], pad), I32)], axis=1)
+    ntp = W0.shape[1]
     # header bytes ride bit-reversed in word 0 of every block
-    w0 = wordsp[0:8]
+    w0 = W0[0:8]
     b0 = _bitrev8(_shr_l(w0, 24) & 0xFF)
     b1 = _bitrev8(_shr_l(w0, 16) & 0xFF)
     b2 = _bitrev8(_shr_l(w0, 8) & 0xFF)
     meta = jnp.concatenate([b0 | (b1 << 8), b2], axis=0)     # [16, NTP]
     grid = (ntp // tile,)
+    wcr = Wc.shape[0]
     sym2, counts, tbad = pl.pallas_call(
         _tree_kernel8,
         out_shape=(jax.ShapeDtypeStruct((256, ntp), I32),
                    jax.ShapeDtypeStruct((72, ntp), I32),
                    jax.ShapeDtypeStruct((8, ntp), I32)),
         grid=grid,
-        in_specs=[pl.BlockSpec((cw8, tile), lambda i: (0, i)),
+        in_specs=[pl.BlockSpec((64, tile), lambda i: (0, i)),
+                  pl.BlockSpec((wcr, tile), lambda i: (0, i)),
                   pl.BlockSpec((16, tile), lambda i: (0, i))],
         out_specs=(pl.BlockSpec((256, tile), lambda i: (0, i)),
                    pl.BlockSpec((72, tile), lambda i: (0, i)),
                    pl.BlockSpec((8, tile), lambda i: (0, i))),
         scratch_shapes=[pltpu.VMEM((512, tile), I32)],
         interpret=interpret,
-    )(wordsp, meta)
+    )(W0, Wc, meta)
     out, ok = pl.pallas_call(
         _payload_kernel8,
         out_shape=(jax.ShapeDtypeStruct((528, ntp), I32),
                    jax.ShapeDtypeStruct((8, ntp), I32)),
         grid=grid,
-        in_specs=[pl.BlockSpec((cw8, tile), lambda i: (0, i)),
+        in_specs=[pl.BlockSpec((64, tile), lambda i: (0, i)),
+                  pl.BlockSpec((wcr, tile), lambda i: (0, i)),
                   pl.BlockSpec((16, tile), lambda i: (0, i)),
                   pl.BlockSpec((256, tile), lambda i: (0, i)),
                   pl.BlockSpec((72, tile), lambda i: (0, i)),
@@ -315,7 +325,7 @@ def _decode8_raw(wordsp: jnp.ndarray, interpret: bool, tile: int):
         out_specs=(pl.BlockSpec((528, tile), lambda i: (0, i)),
                    pl.BlockSpec((8, tile), lambda i: (0, i))),
         interpret=interpret,
-    )(wordsp, meta, sym2, counts, tbad)
+    )(W0, Wc, meta, sym2, counts, tbad)
     return out, ok
 
 
@@ -326,7 +336,7 @@ def decode_words8(wordsp: jnp.ndarray, interpret: bool = False,
     coefficients in block order b = c*8 + r, [NP*8] ok)."""
     tile = tile or TILE
     n = wordsp.shape[1] * 8
-    out, ok = _decode8_raw(wordsp, interpret, tile)
+    out, ok = _decode8_raw(wordsp[:64], wordsp[64:], interpret, tile)
     ntp = out.shape[1]
     # rows 8p+r -> block-major [n, 64] + inverse-zigzag column gather
     m = out[:512].reshape(64, 8, ntp).transpose(2, 1, 0).reshape(ntp * 8, 64)
@@ -344,7 +354,22 @@ def decode_words8_packed(wordsp: jnp.ndarray, interpret: bool = False,
     dequantize_idct_packed directly."""
     tile = tile or TILE
     n = wordsp.shape[1] * 8
-    out, ok = _decode8_raw(wordsp, interpret, tile)
+    out, ok = _decode8_raw(wordsp[:64], wordsp[64:], interpret, tile)
+    ntp = out.shape[1]
+    return out[:512], ok.T.reshape(ntp * 8)[:n] != 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def decode_words8_packed_split(W0: jnp.ndarray, Wc: jnp.ndarray,
+                               interpret: bool = False,
+                               tile: int | None = None):
+    """Two-region window (W0 [64, NP], Wc [(CW-8)*8, NP]) -> ([512, NTP]
+    i32 message-order packed coefficient rows, [NP*8] ok) — the frame
+    decompress entry: the split-stream regions feed the kernels directly
+    and the joined window tensor never exists in HBM."""
+    tile = tile or TILE
+    n = W0.shape[1] * 8
+    out, ok = _decode8_raw(W0, Wc, interpret, tile)
     ntp = out.shape[1]
     return out[:512], ok.T.reshape(ntp * 8)[:n] != 0
 

@@ -116,11 +116,14 @@ def _row(x, r, iota):
     return jnp.sum(jnp.where(iota == r, x, 0), axis=0, keepdims=True)
 
 
-def _encode_kernel(pair_ref, words_ref, size_ref, ok_ref, scr_ref):
+def _encode_kernel(pair_ref, words_ref, a_ref, size_ref, ok_ref, scr_ref):
     """pair [32, TILE] i32 zigzag-ordered coefficient PAIRS (row p holds
     messages 2p | 2p+1 << 16 — the layout the word-packed DCT kernel
     emits) -> words [TILE, 64] i32 (bit-reversed big-endian packed
-    stream, block-major), size [1, TILE] i32 chunk bytes, ok [1, TILE].
+    stream, block-major), a [8, TILE] i32 (each chunk's FIRST 8 words —
+    the split-stream interchange's A region, emitted straight from the
+    serialization register file so the compress path never slices the
+    block-major canvas), size [1, TILE] i32 chunk bytes, ok [1, TILE].
 
     ``scr_ref`` is [256, TILE] VMEM scratch holding the per-step record
     tables (canonical LUT, tree records, payload quads, interior depths):
@@ -419,16 +422,17 @@ def _encode_kernel(pair_ref, words_ref, size_ref, ok_ref, scr_ref):
             if wrows < 64:
                 rt = jnp.concatenate(
                     [rt, jnp.zeros((TILE, 64 - wrows), I32)], axis=1)
-            return rt
+            return rt, regfile[:8]
 
         wmax = jnp.max((size + 3) >> 2)
-        wordsT = jax.lax.cond(wmax <= 16, lambda: serialize(16),
-                              lambda: serialize(64))
-        return wordsT, size, ok
+        wordsT, aT = jax.lax.cond(wmax <= 16, lambda: serialize(16),
+                                  lambda: serialize(64))
+        return wordsT, aT, size, ok
 
-    wordsT, size, ok = jax.lax.cond(
+    wordsT, aT, size, ok = jax.lax.cond(
         nmax <= 16, lambda: tail(16), lambda: tail(64))
     words_ref[...] = wordsT
+    a_ref[...] = aT
     size_ref[...] = size
     ok_ref[...] = ok
 
@@ -447,7 +451,8 @@ def _unpack_words(words: jnp.ndarray) -> jnp.ndarray:
 def encode_words_pairs(pairsT: jnp.ndarray, interpret: bool = False):
     """[32, N] i32 message-order coefficient pairs (row p holds messages
     2p | 2p+1 << 16; columns are blocks) -> ([N, 64] i32 packed words
-    block-major, [N] sizes, [N] ok).
+    block-major, [8, N] i32 A-region words (first 32 bytes of each
+    chunk, word-major), [N] sizes, [N] ok).
 
     Words are in the kernel stream space (bit-reversed bytes packed
     big-endian) — exactly what the Pallas decoder consumes and what the
@@ -464,26 +469,29 @@ def encode_words_pairs(pairsT: jnp.ndarray, interpret: bool = False):
             [pairsT, jnp.zeros((32, pad), I32)], axis=1)
     ntp = pairsT.shape[1]
     grid = (ntp // TILE,)
-    words, size, ok = pl.pallas_call(
+    words, aT, size, ok = pl.pallas_call(
         _encode_kernel,
         out_shape=(jax.ShapeDtypeStruct((ntp, 64), I32),
+                   jax.ShapeDtypeStruct((8, ntp), I32),
                    jax.ShapeDtypeStruct((1, ntp), I32),
                    jax.ShapeDtypeStruct((1, ntp), I32)),
         grid=grid,
         in_specs=[pl.BlockSpec((32, TILE), lambda i: (0, i))],
         out_specs=(pl.BlockSpec((TILE, 64), lambda i: (i, 0)),
+                   pl.BlockSpec((8, TILE), lambda i: (0, i)),
                    pl.BlockSpec((1, TILE), lambda i: (0, i)),
                    pl.BlockSpec((1, TILE), lambda i: (0, i))),
         scratch_shapes=[pltpu.VMEM((256, TILE), I32)],
         interpret=interpret,
     )(pairsT)
-    return words[:n], size[0, :n], ok[0, :n] != 0
+    return words[:n], aT[:, :n], size[0, :n], ok[0, :n] != 0
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def encode_words(coeffs: jnp.ndarray, interpret: bool = False):
     """[N, 64] int16 coefficients (element order) -> ([N, 64] i32 packed
-    words block-major, [N] sizes, [N] ok) via the pair kernel."""
+    words block-major, [8, N] A-region words, [N] sizes, [N] ok) via the
+    pair kernel."""
     zz = jnp.asarray(np.asarray(ZIGZAG, np.int32))
     msg = coeffs.astype(I32)[:, zz]                   # [N, 64] zigzag order
     pairs = (msg[:, 0::2] & 0xFFFF) | (msg[:, 1::2] << 16)   # [N, 32]
@@ -496,5 +504,5 @@ def encode_lanes(coeffs: jnp.ndarray, interpret: bool = False):
 
     Drop-in replacement for entropy.device.encode_lanes with byte-identical
     output (reference semantics: Huffman.cpp:172-241,279-326)."""
-    words, size, ok = encode_words(coeffs, interpret=interpret)
+    words, _aT, size, ok = encode_words(coeffs, interpret=interpret)
     return _unpack_words(words), size, ok

@@ -324,8 +324,17 @@ def pack_pixel_words(plane: jnp.ndarray) -> jnp.ndarray:
 
 
 def unpack_pixel_words(xw: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
-    """[128, n/8] i32 pixel quad words -> [ph, pw] u8 plane."""
+    """[128, n/8] i32 pixel quad words -> [ph, pw] u8 plane.
+
+    When the block-column count is a multiple of 8 the relayout is ONE
+    5D transpose (block b = bi*(W/8)+bj splits separably into lane group
+    c and sublane s = bj%8) instead of unpack_rows8 + blocks_to_plane."""
     n = xw.shape[1] * 8
+    wb = pw // 8
+    if wb % 8 == 0:
+        v = xw.reshape(8, 2, 8, ph // 8, wb // 8).transpose(
+            3, 0, 4, 2, 1).reshape(ph, pw // 4)
+        return jax.lax.bitcast_convert_type(v, jnp.uint8).reshape(ph, pw)
     b16 = unpack_rows8(xw)                              # [n, 16]
     b = jax.lax.bitcast_convert_type(b16, jnp.uint8)    # [n, 16, 4]
     return kdev.blocks_to_plane(b.reshape(n, 8, 8), ph, pw)

@@ -79,6 +79,12 @@ def load() -> Optional[ctypes.CDLL]:
     lib.myyuv_expand_words.restype = ctypes.c_int64
     lib.myyuv_expand_words.argtypes = [u8p, i32p, ctypes.c_int64,
                                        ctypes.c_int32, u32p]
+    lib.myyuv_repack_split.restype = ctypes.c_int64
+    lib.myyuv_repack_split.argtypes = [u32p, u32p, i32p, ctypes.c_int64,
+                                       ctypes.c_int32, u8p]
+    lib.myyuv_expand_split.restype = ctypes.c_int64
+    lib.myyuv_expand_split.argtypes = [u8p, i32p, ctypes.c_int64,
+                                       ctypes.c_int32, u32p, u32p]
     f32p = ctypes.POINTER(ctypes.c_float)
     lib.myyuv_compress_plane.restype = ctypes.c_int64
     lib.myyuv_compress_plane.argtypes = [
@@ -269,3 +275,95 @@ def expand_words(content: np.ndarray, sizes: np.ndarray,
     by = flat.reshape(-1, 4).astype(np.uint32)
     return ((by[:, 0] << 24) | (by[:, 1] << 16) | (by[:, 2] << 8)
             | by[:, 3]).view(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Split-stream device interchange <-> exact byte stream
+# ---------------------------------------------------------------------------
+
+
+def repack_split(aT: np.ndarray, b: np.ndarray, sizes: np.ndarray,
+                 slots: int = 16) -> np.ndarray:
+    """Split-stream interchange -> exact packed byte stream.
+
+    ``aT``: i32/u32 [8, N] word-major A region (each chunk's first 32
+    bytes); ``b``: i32/u32 [nseg*slots, 8] SEGMENT-PADDED continuation
+    rows (64-block segment g owns rows [g*slots, (g+1)*slots));
+    ``sizes``: per-block chunk bytes. Returns u8 [sum(sizes)]."""
+    sizes = np.ascontiguousarray(sizes, np.int32)
+    n = sizes.size
+    slots = int(b.size // 8 // ((n + 63) // 64)) if b.size else slots
+    aT_u = np.ascontiguousarray(aT).view(np.uint32).reshape(8, n)
+    b_u = np.ascontiguousarray(b).view(np.uint32).reshape(-1, 8)
+    total = int(sizes.astype(np.int64).sum())
+    lib = load()
+    if lib is not None:
+        out = np.empty(total, np.uint8)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.myyuv_repack_split(
+            aT_u.ctypes.data_as(u32p), b_u.ctypes.data_as(u32p),
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n, slots, _u8p(out))
+        return out
+    # numpy fallback: rebuild the plain 4-byte-aligned word stream and
+    # reuse repack_words
+    w1 = (sizes.astype(np.int64) + 3) // 4
+    woffs = np.cumsum(w1) - w1
+    nbr = np.maximum((sizes.astype(np.int64) + 31) // 32 - 1, 0)
+    pad = (-n) % 64
+    nbr_p = np.concatenate([nbr, np.zeros(pad, np.int64)])
+    segs = nbr_p.reshape(-1, 64)
+    in_seg = np.cumsum(segs, axis=1) - segs
+    boffs = (np.arange(segs.shape[0])[:, None] * slots
+             + in_seg).reshape(-1)[:n]
+    flat = np.zeros(int(w1.sum()), np.uint32)
+    block_of = np.repeat(np.arange(n), w1)
+    k_in = np.arange(flat.size) - woffs[block_of]
+    low = k_in < 8
+    flat[low] = aT_u[k_in[low], block_of[low]]
+    hi = ~low
+    if hi.any():
+        flat[hi] = b_u[boffs[block_of[hi]] + (k_in[hi] - 8) // 8,
+                       (k_in[hi] - 8) % 8]
+    return repack_words(flat.view(np.int32), sizes, align=1)
+
+
+def expand_split(content: np.ndarray, sizes: np.ndarray,
+                 slots: int = 16):
+    """Exact packed byte stream -> split-stream interchange
+    (aT i32 [8, N], b i32 [nseg*slots, 8] segment-padded)."""
+    sizes = np.ascontiguousarray(sizes, np.int32)
+    content = np.ascontiguousarray(content, np.uint8)
+    n = sizes.size
+    nseg = (n + 63) // 64
+    lib = load()
+    if lib is not None:
+        aT = np.empty((8, n), np.uint32)
+        b = np.empty((nseg * slots, 8), np.uint32)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.myyuv_expand_split(
+            _u8p(content),
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n, slots, aT.ctypes.data_as(u32p), b.ctypes.data_as(u32p))
+        return aT.view(np.int32), b.view(np.int32)
+    words = expand_words(content, sizes, align=1).view(np.uint32)
+    w1 = (sizes.astype(np.int64) + 3) // 4
+    woffs = np.cumsum(w1) - w1
+    nbr = np.maximum((sizes.astype(np.int64) + 31) // 32 - 1, 0)
+    pad = (-n) % 64
+    nbr_p = np.concatenate([nbr, np.zeros(pad, np.int64)])
+    segs = nbr_p.reshape(-1, 64)
+    in_seg = np.cumsum(segs, axis=1) - segs
+    boffs = (np.arange(segs.shape[0])[:, None] * slots
+             + in_seg).reshape(-1)[:n]
+    block_of = np.repeat(np.arange(n), w1)
+    k_in = np.arange(words.size) - woffs[block_of]
+    aT = np.zeros((8, n), np.uint32)
+    low = k_in < 8
+    aT[k_in[low], block_of[low]] = words[low]
+    b = np.zeros((nseg * slots, 8), np.uint32)
+    hi = ~low
+    if hi.any():
+        b[boffs[block_of[hi]] + (k_in[hi] - 8) // 8,
+          (k_in[hi] - 8) % 8] = words[hi]
+    return aT.view(np.int32), b.view(np.int32)

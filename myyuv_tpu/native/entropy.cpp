@@ -587,6 +587,70 @@ int64_t myyuv_repack_words(const uint32_t* words, const int32_t* sizes,
   return o;
 }
 
+// Split-stream interchange -> exact packed byte stream. aT is [8, n]
+// word-major (word w of block i at aT[w*n + i]) holding each chunk's
+// first 32 bytes; b is SEGMENT-PADDED: 64-block segment g owns rows
+// [g*slots, (g+1)*slots) (8 u32 = 32 bytes each), holding its blocks'
+// continuation rows back to back. out must hold sum(sizes) bytes.
+int64_t myyuv_repack_split(const uint32_t* aT, const uint32_t* b,
+                           const int32_t* sizes, int64_t n_blocks,
+                           int32_t slots, uint8_t* out) {
+  int64_t o = 0, seg_base = 0, in_seg = 0;
+  for (int64_t i = 0; i < n_blocks; ++i) {
+    if (i && (i & 63) == 0) {
+      seg_base += slots;
+      in_seg = 0;
+    }
+    const int s = sizes[i];
+    const int sa = s < 32 ? s : 32;
+    for (int j = 0; j < sa; ++j) {
+      const uint32_t w = aT[int64_t(j >> 2) * n_blocks + i];
+      out[o++] = bitrev8_tbl(uint8_t(w >> (24 - 8 * (j & 3))));
+    }
+    for (int j = 32; j < s; ++j) {
+      const int64_t r = in_seg + ((j - 32) >> 5);
+      const uint32_t w =
+          r < slots ? b[(seg_base + r) * 8 + (((j - 32) >> 2) & 7)] : 0;
+      out[o++] = bitrev8_tbl(uint8_t(w >> (24 - 8 * (j & 3))));
+    }
+    if (s > 32) in_seg += int64_t((s - 32 + 31) / 32);
+  }
+  return o;
+}
+
+// Inverse: exact packed byte stream -> split-stream interchange. aT must
+// hold 8*n u32s, b ceil(n/64)*slots rows of 8 u32s (zero-padded).
+// Returns B rows used in the fullest segment (<= slots when valid).
+int64_t myyuv_expand_split(const uint8_t* content, const int32_t* sizes,
+                           int64_t n_blocks, int32_t slots, uint32_t* aT,
+                           uint32_t* b) {
+  const int64_t nseg = (n_blocks + 63) / 64;
+  for (int64_t k = 0; k < 8 * n_blocks; ++k) aT[k] = 0;
+  for (int64_t k = 0; k < nseg * slots * 8; ++k) b[k] = 0;
+  int64_t o = 0, seg_base = 0, in_seg = 0, max_seg = 0;
+  for (int64_t i = 0; i < n_blocks; ++i) {
+    if (i && (i & 63) == 0) {
+      seg_base += slots;
+      in_seg = 0;
+    }
+    const int s = sizes[i];
+    const int sa = s < 32 ? s : 32;
+    for (int j = 0; j < sa; ++j)
+      aT[int64_t(j >> 2) * n_blocks + i] |=
+          uint32_t(bitrev8_tbl(content[o + j])) << (24 - 8 * (j & 3));
+    for (int j = 32; j < s; ++j) {
+      const int64_t r = in_seg + ((j - 32) >> 5);
+      if (r < slots)
+        b[(seg_base + r) * 8 + (((j - 32) >> 2) & 7)] |=
+            uint32_t(bitrev8_tbl(content[o + j])) << (24 - 8 * (j & 3));
+    }
+    if (s > 32) in_seg += int64_t((s - 32 + 31) / 32);
+    if (in_seg > max_seg) max_seg = in_seg;
+    o += s;
+  }
+  return max_seg;
+}
+
 // Inverse: exact packed byte stream -> aligned word stream. words_out must
 // hold sum(align * ceil(sizes/(4*align))) u32s (zero-padding within each
 // block's tail). Returns words written.

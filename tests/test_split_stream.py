@@ -1,0 +1,137 @@
+"""Split-stream device interchange: converters and edge geometries.
+
+The frame/batch device paths carry compressed data as (A [8, N] first-row
+words, B continuation rows, sizes); these tests pin the native/numpy
+converters and the XLA compact/expand round trip on streams with many
+multi-row chunks (high quality) and non-multiple-of-8 block counts.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from myyuv_tpu import native
+from myyuv_tpu.engine import batch as eb
+from myyuv_tpu.engine import device_stream as ds
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def test_native_split_roundtrip(rng):
+    sizes = rng.integers(5, 250, 400).astype(np.int32)
+    content = rng.integers(0, 256, int(sizes.sum())).astype(np.uint8)
+    aT, b = native.expand_split(content, sizes, slots=448)
+    assert aT.shape == (8, 400)
+    out = native.repack_split(aT, b, sizes)
+    assert np.array_equal(out, content)
+
+
+def test_native_split_matches_fallback(rng):
+    sizes = rng.integers(5, 250, 300).astype(np.int32)
+    content = rng.integers(0, 256, int(sizes.sum())).astype(np.uint8)
+    aT, b = native.expand_split(content, sizes, slots=448)
+    lib, failed = native._lib, native._load_failed
+    native._lib, native._load_failed = None, True
+    try:
+        aT2, b2 = native.expand_split(content, sizes, slots=448)
+        out2 = native.repack_split(aT2, b2, sizes)
+    finally:
+        native._lib, native._load_failed = lib, failed
+    assert np.array_equal(aT, aT2)
+    assert np.array_equal(b, b2)
+    assert np.array_equal(out2, content)
+
+
+def _frame(rng, h, w):
+    y = rng.integers(0, 256, (h, w), np.uint8)
+    u = rng.integers(0, 256, (h // 2, w // 2), np.uint8)
+    v = rng.integers(0, 256, (h // 2, w // 2), np.uint8)
+    return y, u, v
+
+
+@pytest.mark.parametrize("quality", [50, 95])
+def test_frame_split_roundtrip(rng, quality):
+    """High quality -> most chunks exceed 32 B, exercising region B."""
+    h, w = 64, 64
+    y, u, v = _frame(rng, h, w)
+    qts = eb.plane_qtables([quality] * 3)
+    cA, cB, sizes, total, ok = ds.compress_frame(
+        jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *qts,
+        capb8_pb=ds.CAPB8_ROOMY)
+    assert bool(ok)
+    cw = 16 if int(np.asarray(sizes).max()) <= 64 else 64
+    ry, ru, rv, dok = ds.decompress_frame(
+        cA, cB, sizes, *qts, h=h, w=w, cw=cw)
+    assert bool(dok)
+    # pixels must round-trip exactly through the entropy layer: compare
+    # against the transform-only roundtrip
+    from myyuv_tpu.kernels import scalar
+    for plane, recon, pid in ((y, ry, 0), (u, ru, 1), (v, rv, 2)):
+        qt = scalar.plane_qtable(pid, quality)
+        want = scalar.blocks_to_plane(
+            scalar.dequantize_idct_blocks(
+                scalar.dct_quantize_blocks(
+                    scalar.plane_to_blocks(plane), qt), qt),
+            *plane.shape)
+        assert np.array_equal(np.asarray(recon), want)
+
+
+def test_frame_split_nondivisible_blocks(rng):
+    """n % 8 != 0 (48x48: 36 + 2*9 = 54 blocks) pads with filler."""
+    h, w = 48, 48
+    y, u, v = _frame(rng, h, w)
+    qts = eb.plane_qtables([50] * 3)
+    cA, cB, sizes, total, ok = ds.compress_frame(
+        jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *qts,
+        capb8_pb=ds.CAPB8_ROOMY)
+    assert bool(ok)
+    ry, ru, rv, dok = ds.decompress_frame(
+        cA, cB, sizes, *qts, h=h, w=w, cw=64)
+    assert bool(dok)
+    from myyuv_tpu.kernels import scalar
+    qt = scalar.plane_qtable(0, 50)
+    want = scalar.blocks_to_plane(
+        scalar.dequantize_idct_blocks(
+            scalar.dct_quantize_blocks(
+                scalar.plane_to_blocks(y), qt), qt), h, w)
+    assert np.array_equal(np.asarray(ry), want)
+
+
+def test_capacity_overflow_flags_ok_false(rng):
+    """A default-budget B region overflows on a high-entropy frame."""
+    h, w = 64, 64
+    y, u, v = _frame(rng, h, w)
+    qts = eb.plane_qtables([100] * 3)
+    cA, cB, sizes, total, ok = ds.compress_frame(
+        jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *qts,
+        capb8_pb=1)
+    assert not bool(ok)
+
+
+def test_streams_match_host_encoder(rng):
+    """File-layout streams from the device path equal the host coder's."""
+    from myyuv_tpu import entropy
+    from myyuv_tpu.kernels import scalar
+    h, w = 64, 64
+    y, u, v = _frame(rng, h, w)
+    qts_np = [np.asarray(q) for q in eb.plane_qtables([90] * 3)]
+    streams = ds.compress_frame_to_streams((y, u, v), qts_np)
+    for plane, (sizes, content), pid in ((y, streams[0], 0),
+                                         (u, streams[1], 1),
+                                         (v, streams[2], 2)):
+        co = scalar.dct_quantize_blocks(
+            scalar.plane_to_blocks(plane),
+            scalar.plane_qtable(pid, 90)).reshape(-1, 64)
+        wsizes, wcontent = entropy.encode_blocks(co.astype(np.int16))
+        assert np.array_equal(sizes.astype(np.int64), wsizes)
+        assert np.array_equal(content, wcontent)
+    # and back through the device decode path
+    ry, ru, rv = ds.decompress_streams_to_frame(streams, qts_np, h, w)
+    qt = scalar.plane_qtable(0, 90)
+    want = scalar.blocks_to_plane(
+        scalar.dequantize_idct_blocks(
+            scalar.dct_quantize_blocks(
+                scalar.plane_to_blocks(y), qt), qt), h, w)
+    assert np.array_equal(ry, want)

@@ -225,7 +225,7 @@ def bench_stages(planes_np, qts):
 
     def comp(c):
         words, aT, sizes, ok = ds._encode_words_dispatch(c)
-        return ds._compact_split(words, aT, sizes, jnp.all(ok))
+        return ds._compact_split(words[:, 8:], aT, sizes, jnp.all(ok))
     j_comp = jax.jit(comp)
     cA, cB, sizes, total, ok = j_comp(cflat)
     full = _time(lambda: j_comp(cflat)[1], reps=5)

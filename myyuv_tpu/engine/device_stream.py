@@ -247,8 +247,9 @@ def _compress_words_packed(y, u, v, qt_y, qt_u, qt_v, b: int, h: int,
     ntp = cp.shape[1]
     pairsT = cp.reshape(32, 8, ntp).transpose(0, 2, 1).reshape(
         32, ntp * 8)[:, :n]
-    words, aT, sizes, ok = pe.encode_words_pairs(pairsT)
-    return _compact_split(words, aT, sizes, jnp.all(ok), capb8_pb)
+    cont = 8 if capb8_pb == CAPB8_DEFAULT else 56
+    wordsC, aT, sizes, ok = pe.encode_words_pairs(pairsT, cont=cont)
+    return _compact_split(wordsC, aT, sizes, jnp.all(ok), capb8_pb)
 
 
 @functools.partial(jax.jit, static_argnames=("precision", "capb8_pb"))
@@ -282,7 +283,7 @@ def compress_frame(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
         _fwd_transform(bu.reshape(nc, 64), qt_u, precision),
         _fwd_transform(bv.reshape(nc, 64), qt_v, precision)])
     words, aT, sizes, ok = _encode_words_dispatch(coeffs)
-    return _compact_split(words, aT, sizes, jnp.all(ok), capb8_pb)
+    return _compact_split(words[:, 8:], aT, sizes, jnp.all(ok), capb8_pb)
 
 
 def _chunk_rows(sizes):
@@ -329,28 +330,30 @@ def _slot_maps(ovfT, offT, slots: int):
     return blk, r_of
 
 
-def _compact_split(words, aT, sizes, ok, capb8_pb: int = CAPB8_DEFAULT):
-    """(words [N, 64] block-major canvas, aT [8, N] A-region) ->
-    (contentA [8, N], contentB [nseg*slots*8] i32, sizes, total bytes,
-    ok).
+def _compact_split(wordsC, aT, sizes, ok, capb8_pb: int = CAPB8_DEFAULT):
+    """(wordsC [N, cont] block-major continuation words, aT [8, N]
+    A-region) -> (contentA [8, N], contentB [nseg*slots*8] i32, sizes,
+    total bytes, ok).
 
     A is pass-through (the encoder already emitted it); B gathers the
     continuation rows into the segment-padded region — ~capb indices
     instead of the ~N of the old aligned-row compaction
-    (tools/exp_split3.py)."""
+    (tools/exp_split3.py). ``cont`` (8 or 56 words) is the encoder's
+    emission tier; chunks beyond it were already flagged in ok."""
     n = sizes.shape[0]
     sizes = sizes.astype(jnp.int32)
     sizes_r = _chunk_rows(sizes)
     total = jnp.sum(sizes)
     slots = slots_for(capb8_pb)
+    crows = wordsC.shape[1] // ALIGN_W
     ovfT, offT, seg_tot = _seg_maps(sizes_r)
     blk, r_of = _slot_maps(ovfT, offT, slots)          # [slots, nseg]
     nseg = ovfT.shape[1]
     seg = jnp.arange(nseg, dtype=jnp.int32)[None, :]
-    gsrc = (seg * SEG + jnp.clip(blk, 0, SEG - 1)) * 8 \
-        + jnp.clip(r_of, 1, 7)
-    rows = words.reshape(n * 8, ALIGN_W)
-    B = rows[jnp.clip(gsrc.T.reshape(-1), 0, n * 8 - 1)]
+    gsrc = (seg * SEG + jnp.clip(blk, 0, SEG - 1)) * crows \
+        + jnp.clip(r_of - 1, 0, crows - 1)
+    rows = wordsC.reshape(n * crows, ALIGN_W)
+    B = rows[jnp.clip(gsrc.T.reshape(-1), 0, n * crows - 1)]
     return (aT, B.reshape(-1), sizes, total,
             ok & jnp.all(seg_tot <= slots))
 
@@ -617,7 +620,7 @@ def compress_batch(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                               cv.reshape(b, nc, 64)],
                              axis=1).reshape(-1, 64)
     words, aT, sizes, ok = _encode_words_dispatch(coeffs)
-    return _compact_split(words, aT, sizes, jnp.all(ok), capb8_pb)
+    return _compact_split(words[:, 8:], aT, sizes, jnp.all(ok), capb8_pb)
 
 
 @functools.partial(jax.jit,

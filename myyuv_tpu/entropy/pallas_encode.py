@@ -119,11 +119,14 @@ def _row(x, r, iota):
 def _encode_kernel(pair_ref, words_ref, a_ref, size_ref, ok_ref, scr_ref):
     """pair [32, TILE] i32 zigzag-ordered coefficient PAIRS (row p holds
     messages 2p | 2p+1 << 16 — the layout the word-packed DCT kernel
-    emits) -> words [TILE, 64] i32 (bit-reversed big-endian packed
-    stream, block-major), a [8, TILE] i32 (each chunk's FIRST 8 words —
-    the split-stream interchange's A region, emitted straight from the
-    serialization register file so the compress path never slices the
-    block-major canvas), size [1, TILE] i32 chunk bytes, ok [1, TILE].
+    emits) -> words [TILE, cont] i32 CONTINUATION words (words 8.. of
+    each chunk, bit-reversed big-endian, block-major — the split-stream
+    interchange's B source; cont = words_ref.shape[1], 8 or 56), a
+    [8, TILE] i32 (each chunk's FIRST 8 words — region A, emitted
+    straight from the serialization register file so the compress path
+    never slices a canvas), size [1, TILE] i32 chunk bytes, ok [1, TILE]
+    (false when a chunk exceeds 4*(8+cont) bytes — the caller retries a
+    roomier tier).
 
     ``scr_ref`` is [256, TILE] VMEM scratch holding the per-step record
     tables (canonical LUT, tree records, payload quads, interior depths):
@@ -133,6 +136,7 @@ def _encode_kernel(pair_ref, words_ref, a_ref, size_ref, ok_ref, scr_ref):
     vector work (the trick pallas_decode8 uses for its symbol stores).
     The pair layout halves the HBM read and every per-message-position
     full-height op (LUT compare, payload record build)."""
+    cont = words_ref.shape[1]
     pw = pair_ref[...]
     lo = (pw << 16) >> 16                             # messages 2p
     hi = pw >> 16                                     # messages 2p+1
@@ -416,17 +420,25 @@ def _encode_kernel(pair_ref, words_ref, a_ref, size_ref, ok_ref, scr_ref):
             st = jax.lax.fori_loop(0, (mlenmax + 3) // 4, pay_body, st)
             W0, nb, wi, regfile = st
             regfile = jnp.where(iota_w == wi, W0, regfile)  # final flush
-            # emit block-major [TILE, 64]: the in-VMEM transpose saves
-            # the downstream XLA relayout the compaction otherwise pays
-            rt = regfile.T
-            if wrows < 64:
-                rt = jnp.concatenate(
-                    [rt, jnp.zeros((TILE, 64 - wrows), I32)], axis=1)
-            return rt, regfile[:8]
+            if wrows < 8 + cont:
+                regfile = jnp.concatenate(
+                    [regfile,
+                     jnp.zeros((8 + cont - wrows, TILE), I32)], axis=0)
+            # emit the continuation words block-major: the in-VMEM
+            # transpose saves the downstream XLA relayout the B gather
+            # otherwise pays (1/8 the cost of transposing a full canvas)
+            return regfile[8:8 + cont].T, regfile[:8]
 
-        wmax = jnp.max((size + 3) >> 2)
-        wordsT, aT = jax.lax.cond(wmax <= 16, lambda: serialize(16),
-                                  lambda: serialize(64))
+        if cont == 8:
+            # the 16-word register file covers every emittable chunk
+            # (ok already bounds size <= 64 B); the spill blend stays at
+            # its cheapest and the 64-word branch never compiles
+            wordsT, aT = serialize(16)
+        else:
+            wmax = jnp.max((size + 3) >> 2)
+            wordsT, aT = jax.lax.cond(wmax <= 16, lambda: serialize(16),
+                                      lambda: serialize(64))
+        ok = ok & (size <= 4 * (8 + cont)).astype(I32)
         return wordsT, aT, size, ok
 
     wordsT, aT, size, ok = jax.lax.cond(
@@ -447,12 +459,16 @@ def _unpack_words(words: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(parts, axis=-1).reshape(w.shape[0], 256)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def encode_words_pairs(pairsT: jnp.ndarray, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("cont", "interpret"))
+def encode_words_pairs(pairsT: jnp.ndarray, cont: int = 56,
+                       interpret: bool = False):
     """[32, N] i32 message-order coefficient pairs (row p holds messages
-    2p | 2p+1 << 16; columns are blocks) -> ([N, 64] i32 packed words
-    block-major, [8, N] i32 A-region words (first 32 bytes of each
-    chunk, word-major), [N] sizes, [N] ok).
+    2p | 2p+1 << 16; columns are blocks) -> ([N, cont] i32 CONTINUATION
+    words block-major (words 8.. of each chunk; cont=8 covers every
+    <=64 B chunk at a quarter of the full-canvas HBM traffic, cont=56
+    every legal chunk), [8, N] i32 A-region words (first 32 bytes of
+    each chunk, word-major), [N] sizes, [N] ok — ok is False for chunks
+    larger than the tier, the caller retries roomier).
 
     Words are in the kernel stream space (bit-reversed bytes packed
     big-endian) — exactly what the Pallas decoder consumes and what the
@@ -471,13 +487,13 @@ def encode_words_pairs(pairsT: jnp.ndarray, interpret: bool = False):
     grid = (ntp // TILE,)
     words, aT, size, ok = pl.pallas_call(
         _encode_kernel,
-        out_shape=(jax.ShapeDtypeStruct((ntp, 64), I32),
+        out_shape=(jax.ShapeDtypeStruct((ntp, cont), I32),
                    jax.ShapeDtypeStruct((8, ntp), I32),
                    jax.ShapeDtypeStruct((1, ntp), I32),
                    jax.ShapeDtypeStruct((1, ntp), I32)),
         grid=grid,
         in_specs=[pl.BlockSpec((32, TILE), lambda i: (0, i))],
-        out_specs=(pl.BlockSpec((TILE, 64), lambda i: (i, 0)),
+        out_specs=(pl.BlockSpec((TILE, cont), lambda i: (i, 0)),
                    pl.BlockSpec((8, TILE), lambda i: (0, i)),
                    pl.BlockSpec((1, TILE), lambda i: (0, i)),
                    pl.BlockSpec((1, TILE), lambda i: (0, i))),
@@ -489,13 +505,17 @@ def encode_words_pairs(pairsT: jnp.ndarray, interpret: bool = False):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def encode_words(coeffs: jnp.ndarray, interpret: bool = False):
-    """[N, 64] int16 coefficients (element order) -> ([N, 64] i32 packed
-    words block-major, [8, N] A-region words, [N] sizes, [N] ok) via the
-    pair kernel."""
+    """[N, 64] int16 coefficients (element order) -> ([N, 64] i32 FULL
+    packed-word canvas block-major, [8, N] A-region words, [N] sizes,
+    [N] ok) via the pair kernel (A + continuation words re-joined for
+    the canvas consumers: tests, lanes, the sharded aligned path)."""
     zz = jnp.asarray(np.asarray(ZIGZAG, np.int32))
     msg = coeffs.astype(I32)[:, zz]                   # [N, 64] zigzag order
     pairs = (msg[:, 0::2] & 0xFFFF) | (msg[:, 1::2] << 16)   # [N, 32]
-    return encode_words_pairs(pairs.T, interpret=interpret)
+    wordsC, aT, size, ok = encode_words_pairs(pairs.T, cont=56,
+                                              interpret=interpret)
+    words = jnp.concatenate([aT.T, wordsC], axis=1)
+    return words, aT, size, ok
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

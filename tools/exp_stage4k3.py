@@ -62,7 +62,7 @@ def pairsT_of(cp, n):
 
 @jax.jit
 def encp(pairsT):
-    return pe.encode_words_pairs(pairsT)
+    return pe.encode_words_pairs(pairsT, cont=8)
 
 
 @functools.partial(jax.jit, static_argnames=("capb8_pb",))

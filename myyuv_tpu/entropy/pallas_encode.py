@@ -154,46 +154,68 @@ def _encode_kernel(pair_ref, words_ref, a_ref, size_ref, ok_ref, scr_ref):
     # ---- distinct symbols + counts via a value sort ---------------------
     # Sorting the trimmed message groups equal symbols into runs: run
     # starts mark the distinct symbols and run lengths are their counts.
-    # One bitonic (21 stages) + two log-scans replace the round-1 64-step
-    # compare-all loop (~6x fewer vector ops for this section); the
-    # (count, symbol) multiset is identical, so the canonical output is
-    # byte-identical. Row order within vals is irrelevant to the sort,
-    # so the lo/hi halves concatenate as blocks (no interleave needed).
-    vals = jnp.concatenate([jnp.where(vlo, lo + 1024, BIG),
-                            jnp.where(vhi, hi + 1024, BIG)], axis=0)
-    svals = _bitonic(vals, iota64)
-    valid_s = svals < BIG
-    prevv = _shift_down(svals, 1)
-    run_start0 = valid_s & ((iota64 == 0) | (svals != prevv))
-    # next run boundary strictly after each row (reverse running min)
-    bnd0 = run_start0 | ~valid_s
-    bpos0 = jnp.where(bnd0, iota64, 99)
-    nxt0 = _shift_up(bpos0, 1) + jnp.where(iota64 >= 63, 99, 0)
-    for s in (1, 2, 4, 8, 16, 32):
-        nxt0 = jnp.minimum(nxt0, _shift_up(nxt0, s) +
-                           jnp.where(iota64 >= 64 - s, 99, 0))
-    nxt0 = jnp.minimum(nxt0, 64)
-    cnt0 = nxt0 - iota64                              # valid at run starts
-    n_sym = jnp.sum(run_start0.astype(I32), axis=0, keepdims=True)
+    # One bitonic + two log-scans replace the round-1 64-step compare-all
+    # loop; the (count, symbol) multiset is identical, so the canonical
+    # output is byte-identical. Row order within vals is irrelevant to
+    # the sort, so the lo/hi halves concatenate as blocks (no interleave
+    # needed). The WHOLE front — both bitonics and the boundary scans —
+    # specializes on the tile-max trimmed message length: messages
+    # 0..2h-1 live in lo[:h] | hi[:h], so a [16, TILE] or [32, TILE]
+    # variant runs when every block's message fits (45%/27% of q50 4K
+    # tiles at TILE=1024; the 64-height sort alone is ~21 stages of
+    # 8-vreg compare-exchanges).
+    mlenmax = jnp.max(mlen)
+
+    def front(mrows):
+        half = mrows // 2
+        iota_m = jax.lax.broadcasted_iota(I32, (mrows, TILE), 0)
+        vals = jnp.concatenate(
+            [jnp.where(vlo[:half], lo[:half] + 1024, BIG),
+             jnp.where(vhi[:half], hi[:half] + 1024, BIG)], axis=0)
+        svals = _bitonic(vals, iota_m)
+        valid_s = svals < BIG
+        prevv = _shift_down(svals, 1)
+        run_start0 = valid_s & ((iota_m == 0) | (svals != prevv))
+        # next run boundary strictly after each row (reverse running min)
+        bnd0 = run_start0 | ~valid_s
+        bpos0 = jnp.where(bnd0, iota_m, 99)
+        nxt0 = _shift_up(bpos0, 1) + jnp.where(iota_m >= mrows - 1, 99, 0)
+        st = 1
+        while st < mrows:
+            nxt0 = jnp.minimum(nxt0, _shift_up(nxt0, st) +
+                               jnp.where(iota_m >= mrows - st, 99, 0))
+            st <<= 1
+        nxt0 = jnp.minimum(nxt0, mrows)
+        cnt0 = nxt0 - iota_m                          # valid at run starts
+        n_sym = jnp.sum(run_start0.astype(I32), axis=0, keepdims=True)
+        # leaf order for the merge: sort run starts by (count, symbol)
+        leafkey = _bitonic(
+            jnp.where(run_start0, cnt0 * 4096 + svals, BIG), iota_m)
+        if mrows < 64:
+            leafkey = jnp.concatenate(
+                [leafkey, jnp.full((64 - mrows, TILE), BIG, I32)], axis=0)
+        return leafkey, n_sym
+
+    leafkey64, n_sym = jax.lax.cond(
+        mlenmax <= 16, lambda: front(16),
+        lambda: jax.lax.cond(mlenmax <= 32, lambda: front(32),
+                             lambda: front(64)))
 
     # ---- symbol-table-sized tail under a runtime size cond --------------
-    # Everything from the leaf sort on only touches rows < n_sym, and at
+    # Everything from the merge on only touches rows < n_sym, and at
     # q50 93% of 1024-block tiles top out at n_sym <= 16 (max observed
     # 19), so the whole tail specializes on the tile-max: lax.cond picks
-    # a [16, TILE] variant (one-hot reads/writes and the canonical
-    # bitonic are 3-4x cheaper) or the general [64, TILE] one.
+    # a [16, TILE] variant (one-hot reads/writes are 3-4x cheaper) or
+    # the general [64, TILE] one.
     nmax = jnp.max(n_sym)                             # scalar loop bound
     lo11 = lo & 0x7FF
     hi11 = hi & 0x7FF
-    mlenmax = jnp.max(mlen)
 
     def tail(rows):
         iota_r = jax.lax.broadcasted_iota(I32, (rows, TILE), 0)
         in_rows = iota_r < n_sym
 
-        # ---- leaf sort by (count, symbol) -------------------------------
-        leafkey0 = jnp.where(run_start0, cnt0 * 4096 + svals, BIG)
-        leafkey = _bitonic(leafkey0, iota64)[:rows]
+        leafkey = leafkey64[:rows]
         leafw = jnp.where(in_rows, leafkey >> 12, BIG)   # counts, sorted
         leafsym = jnp.where(in_rows, (leafkey & 4095) - 1024, 0)
 

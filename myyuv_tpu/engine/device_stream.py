@@ -51,8 +51,10 @@ CAPR8_DEFAULT = 10              # 1.25 rows = 40 B/block average (q50+9%)
 CAPR8_ROOMY = 24                # 3 rows: the per-block-cap worst case
 
 # SPLIT-STREAM interchange (frame/batch paths): region A holds every
-# chunk's first 32 bytes ([8, N] word-major — a free second output of the
-# Pallas encoder's register file), region B only the continuation rows
+# chunk's first 32 bytes ([64, ceil8(N)] in the packed decoder's W0
+# window layout, row 8w + r = word w of block 8c + r — a free second
+# output of the Pallas encoder's register file that the decode kernels
+# consume verbatim), region B only the continuation rows
 # of chunks >32 B (1.2% of blocks at q50). B is SEGMENT-PADDED: blocks
 # group into 64-block segments, each owning a static ``slots`` rows, so
 # every slot->block map is a small [nseg, 64, slots] one-hot
@@ -215,7 +217,7 @@ def _compress_words_packed(y, u, v, qt_y, qt_u, qt_v, b: int, h: int,
     2 coefficients per i32), which is what makes the relayouts cheap —
     the [N, 64]-shaped hops of the flat route cost 10.8 + 5.9 ms/4K
     frame in pure HBM shuffling (tools/exp_packdct.py)."""
-    from ..entropy import pallas_encode as pe
+    from ..entropy import pallas_encode8 as pe8
     from ..kernels import pallas_dct8 as p8
     ny = (h // 8) * (w // 8)
     nc = (h // 16) * (w // 16)
@@ -244,12 +246,12 @@ def _compress_words_packed(y, u, v, qt_y, qt_u, qt_v, b: int, h: int,
     pids = jnp.asarray(np.concatenate(
         [np.tile(pat, b), np.zeros(padc, np.int32)])[None])
     cp = p8.dct_quantize_words(xw, qtx, pids)            # [256, ntp]
-    ntp = cp.shape[1]
-    pairsT = cp.reshape(32, 8, ntp).transpose(0, 2, 1).reshape(
-        32, ntp * 8)[:, :n]
     cont = 8 if capb8_pb == CAPB8_DEFAULT else 56
-    wordsC, aT, sizes, ok = pe.encode_words_pairs(pairsT, cont=cont)
-    return _compact_split(wordsC, aT, sizes, jnp.all(ok), capb8_pb)
+    # the packed-8 encoder consumes the DCT pair layout DIRECTLY (no
+    # relayout; pad lane columns encode as ignorable valid chunks) and
+    # emits A already in the decoder's W0 window layout
+    wordsC, A, sizes, ok = pe8.encode_words_packed(cp, cont=cont)
+    return _compact_split(wordsC, A, sizes[:n], jnp.all(ok[:n]), capb8_pb)
 
 
 @functools.partial(jax.jit, static_argnames=("precision", "capb8_pb"))
@@ -260,10 +262,12 @@ def compress_frame(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     """Full-frame on-chip compress -> (contentA, contentB, sizes, total,
     ok): the SPLIT-STREAM device interchange.
 
-    ``contentA`` [8, N] i32 holds every chunk's first 32 bytes word-major
-    (bytes bit-reversed, packed big-endian — the entropy kernels' native
-    stream space); it is a direct output of the Pallas encoder's register
-    file, so producing it costs nothing. ``contentB`` [capb*8] i32 holds
+    ``contentA`` [64, ceil8(N)] i32 holds every chunk's first 32 bytes in
+    the packed decoder's W0 window layout (bytes bit-reversed, packed
+    big-endian — the entropy kernels' native stream space); it is a
+    direct output of the Pallas encoder's register file, so producing it
+    costs nothing and decompress consumes it with zero index work.
+    ``contentB`` [capb*8] i32 holds
     only the continuation rows of chunks >32 B, stream-compacted — the
     one index-bound gather left in the compress path touches ~capb rows
     instead of ~N (1.2% of q50 blocks have a second row). ``total`` is
@@ -291,16 +295,23 @@ def _chunk_rows(sizes):
     return (sizes + 4 * ALIGN_W - 1) // (4 * ALIGN_W)
 
 
-def _seg_maps(sizes_r):
+def _seg_maps(sizes_r, npad: int | None = None):
     """Per-segment continuation-row geometry, TRANSPOSED so the big
     nseg axis rides the lanes: (ovfT [SEG, nseg], exclusive in-segment
-    offsets [SEG, nseg], totals [nseg])."""
+    offsets [SEG, nseg], totals [nseg]).
+
+    ``npad`` overrides the padded block count (a SEG multiple >= n) so
+    both interchange sides can derive the segmentation from the A-region
+    width — pad blocks carry <=32-byte chunks, i.e. zero continuation
+    rows, so padding is free."""
     n = sizes_r.shape[0]
-    nseg = -(-n // SEG)
+    if npad is None:
+        npad = -(-n // SEG) * SEG
+    nseg = npad // SEG
     ovf = jnp.maximum(sizes_r.astype(jnp.int32) - 1, 0)
-    if nseg * SEG != n:
+    if npad != n:
         ovf = jnp.concatenate(
-            [ovf, jnp.zeros(nseg * SEG - n, jnp.int32)])
+            [ovf, jnp.zeros(npad - n, jnp.int32)])
     ovfT = ovf.reshape(nseg, SEG).T
     offT = jnp.cumsum(ovfT, axis=0) - ovfT
     return ovfT, offT, jnp.sum(ovfT, axis=0)
@@ -330,39 +341,63 @@ def _slot_maps(ovfT, offT, slots: int):
     return blk, r_of
 
 
-def _compact_split(wordsC, aT, sizes, ok, capb8_pb: int = CAPB8_DEFAULT):
-    """(wordsC [N, cont] block-major continuation words, aT [8, N]
-    A-region) -> (contentA [8, N], contentB [nseg*slots*8] i32, sizes,
-    total bytes, ok).
+def _a_to_packed(aT):
+    """Flat A region [8, n] word-major -> packed-8 [64, ceil8(n)] (the
+    decoder's W0 window layout: row 8w + r = word w of block 8c + r).
+    Pad blocks carry the minimal valid all-zero-block chunk."""
+    from ..entropy.pallas_decode import _FILLER_W0
 
-    A is pass-through (the encoder already emitted it); B gathers the
-    continuation rows into the segment-padded region — ~capb indices
-    instead of the ~N of the old aligned-row compaction
-    (tools/exp_split3.py). ``cont`` (8 or 56 words) is the encoder's
-    emission tier; chunks beyond it were already flagged in ok."""
+    n = aT.shape[1]
+    pad = (-n) % 8
+    if pad:
+        fill = jnp.zeros((8, pad), jnp.int32).at[0].set(_FILLER_W0)
+        aT = jnp.concatenate([aT, fill], axis=1)
+    n8 = aT.shape[1] // 8
+    return aT.reshape(8, n8, 8).transpose(0, 2, 1).reshape(64, n8)
+
+
+def _compact_split(wordsC, A, sizes, ok, capb8_pb: int = CAPB8_DEFAULT):
+    """(wordsC [>=N, cont] block-major continuation words, A region) ->
+    (contentA [64, ceil8(N)] packed-8, contentB [nseg*slots*8] i32,
+    sizes, total bytes, ok).
+
+    ``A`` arrives either packed-8 [64, *] (the Pallas encoder emits the
+    decoder's W0 layout directly — pass-through) or word-major [8, N]
+    (the flat/CPU encoders — one relayout). B gathers the continuation
+    rows into the segment-padded region — ~capb indices instead of the
+    ~N of the old aligned-row compaction (tools/exp_split3.py).
+    ``cont`` (8 or 56 words) is the encoder's emission tier; chunks
+    beyond it were already flagged in ok. ``wordsC`` may carry trailing
+    pad-block rows (the packed encoder's tile padding) — never
+    gathered."""
     n = sizes.shape[0]
     sizes = sizes.astype(jnp.int32)
     sizes_r = _chunk_rows(sizes)
     total = jnp.sum(sizes)
     slots = slots_for(capb8_pb)
     crows = wordsC.shape[1] // ALIGN_W
-    ovfT, offT, seg_tot = _seg_maps(sizes_r)
+    contentA = A if A.shape[0] == 64 else _a_to_packed(A)
+    # segmentation derives from the A width on BOTH interchange sides,
+    # so decompress consumes contentA verbatim (no slice/pad copy)
+    npad = -(-contentA.shape[1] * 8 // SEG) * SEG
+    ovfT, offT, seg_tot = _seg_maps(sizes_r, npad)
     blk, r_of = _slot_maps(ovfT, offT, slots)          # [slots, nseg]
     nseg = ovfT.shape[1]
     seg = jnp.arange(nseg, dtype=jnp.int32)[None, :]
     gsrc = (seg * SEG + jnp.clip(blk, 0, SEG - 1)) * crows \
         + jnp.clip(r_of - 1, 0, crows - 1)
-    rows = wordsC.reshape(n * crows, ALIGN_W)
-    B = rows[jnp.clip(gsrc.T.reshape(-1), 0, n * crows - 1)]
-    return (aT, B.reshape(-1), sizes, total,
+    rows = wordsC.reshape(-1, ALIGN_W)
+    B = rows[jnp.clip(gsrc.T.reshape(-1), 0, rows.shape[0] - 1)]
+    return (contentA, B.reshape(-1), sizes, total,
             ok & jnp.all(seg_tot <= slots))
 
 
 def _expand_split(contentA, contentB, sizes_r, cw: int):
     """Split interchange -> packed-8 decode windows [cw*8, nseg*8].
 
-    Window row 0 of every block IS region A (one pure relayout, no
-    gather); rows 1..cw/8-1 come from a ~capb-row scatter of region B
+    Window rows 0..7 of every block ARE region A verbatim (contentA is
+    stored in the decoder's W0 layout — zero index work, zero relayout);
+    rows cw/8.. come from a ~capb-row scatter of region B
     into a zero canvas (rows past a chunk's extent stay zero — the
     decoders consume exactly enc_bits+tree bits, so they never read
     them). Every segment's canvas strip carries ``slots`` trailing sink
@@ -373,7 +408,10 @@ def _expand_split(contentA, contentB, sizes_r, cw: int):
 
     n = sizes_r.shape[0]
     cwr = cw // ALIGN_W
-    ovfT, offT, seg_tot = _seg_maps(sizes_r)
+    # same A-width-derived segmentation as _compact_split, so contentA
+    # and contentB geometries line up without any copy
+    npad = -(-contentA.shape[1] * 8 // SEG) * SEG
+    ovfT, offT, seg_tot = _seg_maps(sizes_r, npad)
     nseg = ovfT.shape[1]
     slots = contentB.shape[0] // (nseg * ALIGN_W)
     B = contentB.reshape(nseg * slots, ALIGN_W)
@@ -389,13 +427,16 @@ def _expand_split(contentA, contentB, sizes_r, cw: int):
         tgt.T.reshape(-1)].set(B, mode="drop", indices_are_sorted=True,
                                unique_indices=True)
     Wc = Wcs.reshape(nseg, stride, ALIGN_W)[:, :SEG * (cwr - 1)]
-    npad = nseg * SEG
-    A = contentA
-    if npad != n:
-        fill = jnp.zeros((8, npad - n), jnp.int32).at[0].set(_FILLER_W0)
-        A = jnp.concatenate([A, fill], axis=1)
-    n8 = npad // 8
-    W0 = A.reshape(8, n8, 8).transpose(0, 2, 1).reshape(64, n8)
+    n8 = nseg * SEG // 8
+    # contentA is already the decoder's W0 layout ([64, ceil8(n)]);
+    # pad/slice the lane columns to the segment-padded block count
+    W0 = contentA
+    if W0.shape[1] > n8:
+        W0 = W0[:, :n8]
+    elif W0.shape[1] < n8:
+        fill = jnp.zeros((64, n8 - W0.shape[1]), jnp.int32
+                         ).at[0:8].set(_FILLER_W0)
+        W0 = jnp.concatenate([W0, fill], axis=1)
     Wcp = Wc.reshape(n8, 8, cwr - 1, ALIGN_W).transpose(
         2, 3, 1, 0).reshape((cwr - 1) * 64, n8)
     return W0, Wcp    # joined in VMEM by the decoder kernels
@@ -779,11 +820,11 @@ def pull_words(content4_dev: jnp.ndarray, totalw: int) -> np.ndarray:
 
 
 def pull_split(contentA_dev: jnp.ndarray, contentB_dev: jnp.ndarray):
-    """Pull the split-stream artifact -> (aT i32 [8, N], b i32
-    [nseg*slots, 8] segment-padded)."""
-    aT = np.asarray(contentA_dev)
+    """Pull the split-stream artifact -> (a i32 [64, ceil8(N)] packed-8
+    W0 layout, b i32 [nseg*slots, 8] segment-padded)."""
+    a = np.asarray(contentA_dev)
     b = np.asarray(contentB_dev).reshape(-1, ALIGN_W)
-    return aT, b
+    return a, b
 
 
 def _split_planes(sizes_np, packed, ny, nc):

@@ -1,0 +1,501 @@
+"""Sublane-packed Pallas Huffman encoder: 8 blocks per lane column.
+
+Round-2 successor of entropy/pallas_encode.py (same reference semantics:
+Huffman.cpp:172-241,279-326; byte-identical output). The flat kernel keeps
+every per-block scalar register as a [1, TILE] vector — one live sublane
+of eight — so the sequential serialization machine (the kernel's dominant
+cost) runs at 1/8 VPU utilization, and its [32, N] pair input requires a
+relayout of the packed-8 DCT kernel's output (measured 4.4 ms/4K frame).
+Here blocks ride lanes 8-per-column (block b = c*8 + r at sublane r, lane
+c — the layout of kernels/pallas_dct8 and entropy/pallas_decode8), so:
+
+1. the input IS ``dct_quantize_words``'s [256, TP] coefficient-pair
+   output — the transform->entropy relayout disappears;
+2. every per-block register (bit-append window, cursors, queue heads) is
+   a dense [8, TP] vreg — the serialization loops drop to ~1/8 their
+   flat vector cost;
+3. the A-region register file is emitted in rows 8w + r — exactly the
+   packed decoder's W0 window layout, so the decompress side consumes it
+   with zero index work;
+4. the continuation register file keeps rows in (block-sublane)-major
+   order cont*r + w: one in-VMEM 2D transpose emits [TP, 8*cont], and
+   the XLA reshape to block-major [N, cont] (what the split-stream B
+   compaction gathers from) is free — identical row-major linearization.
+
+Row-shift identities carry over from the flat kernel with every shift
+scaled by 8 (group = 8 physical rows); per-block maxima/sums fold over
+row groups (log halving) instead of full-column reductions so the eight
+blocks of a lane column never mix.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .reference import ZIGZAG
+from .pallas_encode import BIG, _bitrev8, _bitrev11, _shl, _shr_l
+
+I32 = jnp.int32
+# lane columns per grid program (8 blocks each)
+TP = int(os.environ.get("MYYUV_ENC8_TILE", "128"))
+
+
+def _sd8(x, j):
+    """Group shift down: out group g reads x group g - j (low groups 0)."""
+    return jnp.concatenate(
+        [jnp.zeros((8 * j, x.shape[1]), x.dtype), x[:-8 * j]], axis=0)
+
+
+def _su8(x, j):
+    """Group shift up: out group g reads x group g + j (top groups 0)."""
+    return jnp.concatenate(
+        [x[8 * j:], jnp.zeros((8 * j, x.shape[1]), x.dtype)], axis=0)
+
+
+def _tile_g(x, groups):
+    """[8, TP] -> [groups*8, TP]: row 8g + r reads x[r] (cycle tiling;
+    groups is a power of two)."""
+    while x.shape[0] < groups * 8:
+        x = jnp.concatenate([x, x], axis=0)
+    return x
+
+
+def _rep_rows(x, k):
+    """[8, TP] -> [8k, TP]: row k*r + j reads x[r] (run repetition)."""
+    return jnp.concatenate(
+        [jnp.broadcast_to(x[r:r + 1], (k, x.shape[1])) for r in range(8)],
+        axis=0)
+
+
+def _fold_max(x):
+    """[G*8, TP] -> [8, TP] per-block max over the G groups (G pow 2)."""
+    while x.shape[0] > 8:
+        h = x.shape[0] // 2
+        x = jnp.maximum(x[:h], x[h:])
+    return x
+
+
+def _fold_min(x):
+    while x.shape[0] > 8:
+        h = x.shape[0] // 2
+        x = jnp.minimum(x[:h], x[h:])
+    return x
+
+
+def _fold_sum(x):
+    while x.shape[0] > 8:
+        h = x.shape[0] // 2
+        x = x[:h] + x[h:]
+    return x
+
+
+def _grp_read(x, gidx, groups):
+    """One-hot read of per-block group indices: out[r] = x[8*gidx[r]+r]."""
+    V = jnp.zeros_like(x[0:8])
+    for g in range(groups):
+        V = V | jnp.where(gidx == g, x[8 * g:8 * g + 8], 0)
+    return V
+
+
+def _bitonic8(key, ig):
+    """Ascending bitonic sort of the row GROUPS, elementwise per (sublane,
+    lane) block slot. ``ig`` is the group-index iota; partner x[g^j] comes
+    from a select of two static group shifts (j a power of two)."""
+    rows = key.shape[0] // 8
+    k = 2
+    while k <= rows:
+        j = k >> 1
+        while j >= 1:
+            partner = jnp.where((ig & j) == 0, _su8(key, j), _sd8(key, j))
+            keep_min = ((ig & k) == 0) == ((ig & j) == 0)
+            key = jnp.where(keep_min, jnp.minimum(key, partner),
+                            jnp.maximum(key, partner))
+            j >>= 1
+        k <<= 1
+    return key
+
+
+def _encode_kernel8(pair_ref, words_ref, a_ref, size_ref, ok_ref, scr_ref):
+    """pair [256, TP] i32 zigzag-ordered coefficient PAIRS packed-8 (rows
+    8p..8p+7 hold messages 2p | 2p+1 << 16 of the column's 8 blocks — the
+    dct_quantize_words output) -> words [TP, 8*cont] i32 (col cont*r + w
+    holds continuation word 8+w of sublane-block r; the XLA reshape to
+    block-major [TP*8, cont] is free), a [64, TP] i32 (rows 8w + r: the
+    packed decoder's W0 window layout, directly consumable), size [8, TP],
+    ok [8, TP].
+
+    ``scr_ref`` is [2048, TP] VMEM scratch: row groups 0..63 hold the
+    per-step record tables (canonical LUT, then tree records), groups
+    64..127 the payload quads, groups 192..255 the interior node depths.
+    Sequential loops read them back through UNIFORM dynamic row slices
+    (``ref[pl.ds(8*c, 8)]``) — O(1) vector work per step."""
+    cont = words_ref.shape[1] // 8
+    tp = pair_ref.shape[1]
+    pw = pair_ref[...]
+    lo = (pw << 16) >> 16                             # messages 2p
+    hi = pw >> 16                                     # messages 2p+1
+    i32g = jax.lax.broadcasted_iota(I32, (256, tp), 0) >> 3
+    z8 = jnp.zeros((8, tp), I32)
+
+    # ---- message trim (Huffman.cpp:174-203) -----------------------------
+    mlen = _fold_max(jnp.maximum(
+        jnp.where(lo != 0, 2 * i32g + 1, 0),
+        jnp.where(hi != 0, 2 * i32g + 2, 0)))
+    mlen = jnp.maximum(mlen, 1)                      # [8, TP]
+    mlen32 = _tile_g(mlen, 32)
+    vlo = 2 * i32g < mlen32
+    vhi = 2 * i32g + 1 < mlen32
+    mlenmax = jnp.max(mlen)
+
+    # ---- distinct symbols + counts via a value sort ---------------------
+    # (see pallas_encode._encode_kernel: identical algorithm, group-shifted)
+    def front(mrows):
+        half = mrows // 2
+        ig = jax.lax.broadcasted_iota(I32, (8 * mrows, tp), 0) >> 3
+        vals = jnp.concatenate(
+            [jnp.where(vlo[:8 * half], lo[:8 * half] + 1024, BIG),
+             jnp.where(vhi[:8 * half], hi[:8 * half] + 1024, BIG)], axis=0)
+        svals = _bitonic8(vals, ig)
+        valid_s = svals < BIG
+        prevv = _sd8(svals, 1)
+        run_start0 = valid_s & ((ig == 0) | (svals != prevv))
+        bnd0 = run_start0 | ~valid_s
+        bpos0 = jnp.where(bnd0, ig, 99)
+        nxt0 = _su8(bpos0, 1) + jnp.where(ig >= mrows - 1, 99, 0)
+        st = 1
+        while st < mrows:
+            nxt0 = jnp.minimum(nxt0, _su8(nxt0, st) +
+                               jnp.where(ig >= mrows - st, 99, 0))
+            st <<= 1
+        nxt0 = jnp.minimum(nxt0, mrows)
+        cnt0 = nxt0 - ig                              # valid at run starts
+        n_sym = _fold_sum(run_start0.astype(I32))
+        leafkey = _bitonic8(
+            jnp.where(run_start0, cnt0 * 4096 + svals, BIG), ig)
+        if mrows < 64:
+            leafkey = jnp.concatenate(
+                [leafkey, jnp.full((8 * (64 - mrows), tp), BIG, I32)],
+                axis=0)
+        return leafkey, n_sym
+
+    leafkey64, n_sym = jax.lax.cond(
+        mlenmax <= 16, lambda: front(16),
+        lambda: jax.lax.cond(mlenmax <= 32, lambda: front(32),
+                             lambda: front(64)))
+
+    nmax = jnp.max(n_sym)                             # scalar loop bound
+    lo11 = lo & 0x7FF
+    hi11 = hi & 0x7FF
+
+    def tail(rows):
+        R = 8 * rows
+        ig = jax.lax.broadcasted_iota(I32, (R, tp), 0) >> 3
+        n_symR = _tile_g(n_sym, rows)
+        in_rows = ig < n_symR
+
+        leafkey = leafkey64[:R]
+        leafw = jnp.where(in_rows, leafkey >> 12, BIG)   # counts, sorted
+        leafsym = jnp.where(in_rows, (leafkey & 4095) - 1024, 0)
+
+        # ---- two-queue Huffman merge ------------------------------------
+        def pick(state):
+            lh, ih, it, intw, active = state
+            lw = _grp_read(leafw, lh, rows)
+            iw = _grp_read(intw, ih, rows)
+            leaf_has = lh < n_sym
+            int_has = ih < it
+            take_leaf = leaf_has & (~int_has | (lw <= iw))
+            w = jnp.where(take_leaf, lw, iw)
+            node = jnp.where(take_leaf, lh, 64 + ih)
+            lh = lh + (take_leaf & active).astype(I32)
+            ih = ih + (~take_leaf & active).astype(I32)
+            return (lh, ih, it, intw, active), w, node
+
+        def merge_body(s, carry):
+            lh, ih, it, intw, parentL, parentI = carry
+            active = it < n_sym - 1
+            st = (lh, ih, it, intw, active)
+            st, w1, node1 = pick(st)
+            st, w2, node2 = pick(st)
+            lh, ih, it, intw, _ = st
+            new_id = 64 + it
+            n1R = _tile_g(jnp.where(active, node1, 999), rows)
+            n2R = _tile_g(jnp.where(active, node2, 999), rows)
+            newR = _tile_g(new_id, rows)
+            parentL = jnp.where(ig == n1R, newR, parentL)
+            parentL = jnp.where(ig == n2R, newR, parentL)
+            parentI = jnp.where(ig == n1R - 64, newR, parentI)
+            parentI = jnp.where(ig == n2R - 64, newR, parentI)
+            activeR = _tile_g(active, rows)
+            intw = jnp.where((ig == _tile_g(it, rows)) & activeR,
+                             _tile_g(w1 + w2, rows), intw)
+            it = it + active.astype(I32)
+            return lh, ih, it, intw, parentL, parentI
+
+        zeroR = jnp.zeros((R, tp), I32)
+        lh, ih, it, intw, parentL, parentI = jax.lax.fori_loop(
+            0, nmax - 1, merge_body,
+            (z8, z8, z8, jnp.full((R, tp), BIG, I32), zeroR, zeroR))
+
+        # ---- depth sweep: write-based top-down propagation --------------
+        scr_ref[1536:1536 + R, :] = zeroR
+
+        def depth_body(i, leafd):
+            nid = 64 + nmax - 2 - i
+            d = scr_ref[pl.ds(1536 + (nid - 64) * 8, 8), :] + 1
+            dR = _tile_g(d, rows)
+            scr_ref[1536:1536 + R, :] = jnp.where(
+                parentI == nid, dR, scr_ref[1536:1536 + R, :])
+            leafd = jnp.where(parentL == nid, dR, leafd)
+            return leafd
+
+        leafd = jax.lax.fori_loop(0, nmax - 1, depth_body, zeroR)
+        leaf_len = jnp.where(n_symR == 1, 1, leafd)   # per sorted-leaf row
+
+        # ---- canonical (len, sym) order + Kraft codes -------------------
+        key2 = jnp.where(in_rows, leaf_len * 4096 + leafsym + 1024, BIG)
+        key2 = _bitonic8(key2, ig)
+        len_c = jnp.where(in_rows, key2 >> 12, 0)
+        sym_c = jnp.where(in_rows, (key2 & 4095) - 1024, 0)
+        ok = _fold_min(jnp.where(
+            in_rows, ((len_c >= 1) & (len_c <= 8)).astype(I32), 1))
+
+        lc = jnp.clip(len_c, 1, 8)
+        kraft = jnp.where(in_rows, 1 << (8 - lc), 0)
+        incl = kraft
+        s = 1
+        while s < rows:
+            incl = incl + _sd8(incl, s)
+            s <<= 1
+        code_c = (incl - kraft) >> (8 - lc)           # exclusive prefix
+
+        # ---- per-message-position (len, code) lookup --------------------
+        canrec = (jnp.clip(len_c, 0, 8) << 19) | ((code_c & 0xFF) << 11) \
+            | (sym_c & 0x7FF)
+        scr_ref[0:R, :] = canrec
+        n_sym32 = _tile_g(n_sym, 32)
+
+        def lut_body(c, carry):
+            pl_l, pc_l, pl_h, pc_h = carry
+            rec32 = _tile_g(scr_ref[pl.ds(8 * c, 8), :], 32)
+            sym32 = rec32 & 0x7FF
+            live32 = c < n_sym32
+            m_l = (lo11 == sym32) & live32
+            m_h = (hi11 == sym32) & live32
+            pl_l = jnp.where(m_l, (rec32 >> 19) & 15, pl_l)
+            pc_l = jnp.where(m_l, (rec32 >> 11) & 0xFF, pc_l)
+            pl_h = jnp.where(m_h, (rec32 >> 19) & 15, pl_h)
+            pc_h = jnp.where(m_h, (rec32 >> 11) & 0xFF, pc_h)
+            return pl_l, pc_l, pl_h, pc_h
+
+        z256 = jnp.zeros((256, tp), I32)
+        pl_l, pc_l, pl_h, pc_h = jax.lax.fori_loop(
+            0, nmax, lut_body, (z256, z256, z256, z256))
+        l0 = jnp.where(vlo, pl_l, 0)
+        l1 = jnp.where(vhi, pl_h, 0)
+        enc_bits = _fold_sum(l0 + l1)                 # [8, TP]
+
+        # ---- group structure over canonical rows (Huffman.cpp:300-316) --
+        prev_len = _sd8(len_c, 1) + jnp.where(ig == 0, -1, 0)
+        run_start = in_rows & (len_c != prev_len)
+        lrs = jnp.where(run_start, ig, -1)
+        s = 1
+        while s < rows:
+            lrs = jnp.maximum(lrs, _sd8(lrs, s) +
+                              jnp.where(ig < s, -64, 0))
+            s <<= 1
+        idx_in_run = ig - lrs
+        grp_start = in_rows & (run_start | ((idx_in_run & 31) == 0))
+        bpos = jnp.where(run_start | ~in_rows, ig, 99)
+        nxt = _su8(bpos, 1) + jnp.where(ig >= rows - 1, 99, 0)
+        s = 1
+        while s < rows:
+            nxt = jnp.minimum(nxt, _su8(nxt, s) +
+                              jnp.where(ig >= rows - s, 99, 0))
+            s <<= 1
+        nxt = jnp.minimum(nxt, rows)
+        gcnt = jnp.minimum(nxt, ig + 32) - ig         # valid at grp_start
+        grp_bytes = jnp.where(grp_start, 1 + (gcnt * 11 + 7) // 8, 0)
+        tree_size = _fold_sum(grp_bytes)
+        size = 3 + tree_size + (enc_bits + 7) // 8
+        ok = ok & (size <= 255).astype(I32)
+
+        tree_rec = (grp_start.astype(I32) << 28) \
+            | (in_rows.astype(I32) << 27) \
+            | (jnp.clip(gcnt, 0, 63) << 21) | (lc << 17) | (sym_c & 0x7FF)
+        scr_ref[0:R, :] = tree_rec
+
+        # payload QUADS (4 codes per append step): groups 64..127
+        c0 = jnp.where(vlo, pc_l, 0) & 0xFF
+        c1 = jnp.where(vhi, pc_h, 0) & 0xFF
+        pair_rec = ((l0 + l1) << 16) | ((_shl(c0, l1) | c1) & 0xFFFF)
+        q2 = _su8(pair_rec, 1)                        # next pair group
+        scr_ref[512:768, :] = _shl(pair_rec & 0xFFFF, q2 >> 16) \
+            | (q2 & 0xFFFF)
+        scr_ref[768:1024, :] = (pair_rec >> 16) + (q2 >> 16)
+
+        # ---- serialization: sequential bit-append machine ---------------
+        # Stream space matches the decoder's (bit-reversed bytes packed
+        # big-endian, each word filled MSB-down). Per-block state is one
+        # dense [8, TP] vreg; spills blend into the A file (rows 8w + r =
+        # the decoder's W0 layout) or the continuation file (rows
+        # cont*r + w for the free block-major reshape after transpose).
+        iota_aw = jax.lax.broadcasted_iota(I32, (64, tp), 0) >> 3
+        iota_cw = jax.lax.broadcasted_iota(I32, (8 * cont, tp), 0) % cont
+
+        def append(state, v, L):
+            """Append the L-bit value v (MSB-first in stream space);
+            L may be 0 (no-op) and varies per block."""
+            W0, nb, wi, fA, fC = state
+            v = jnp.where(L > 0, v, 0)
+            sh = 32 - nb - L
+            W0 = W0 | jnp.where(sh >= 0, _shl(v, jnp.maximum(sh, 0)),
+                                _shr_l(v, jnp.maximum(-sh, 0)))
+            newnb = nb + L
+            spill = newnb >= 32
+            wA = jnp.where(spill & (wi < 8), wi, -1)
+            fA = jnp.where(iota_aw == _tile_g(wA, 8), _tile_g(W0, 8), fA)
+            wC = jnp.where(spill & (wi >= 8), wi - 8, -1)
+            fC = jnp.where(iota_cw == _rep_rows(wC, cont),
+                           _rep_rows(W0, cont), fC)
+            W0 = jnp.where(spill, _shl(v, 64 - newnb), W0)
+            wi = wi + spill.astype(I32)
+            nb = jnp.where(spill, newnb - 32, newnb)
+            return W0, nb, wi, fA, fC
+
+        st = (z8, z8, z8, jnp.zeros((64, tp), I32),
+              jnp.zeros((8 * cont, tp), I32))
+        # 3-byte header as ONE 24-bit append (same bit sequence)
+        hdr24 = (_bitrev8(enc_bits & 0xFF) << 16) \
+            | (_bitrev8(_shr_l(enc_bits, 8) & 0xFF) << 8) \
+            | _bitrev8(tree_size & 0xFF)
+        st = append(st, hdr24, jnp.full((8, tp), 24, I32))
+
+        def tree_body(c, st):
+            # one fused append per canonical row: [pad][group hdr][sym]
+            rec = scr_ref[pl.ds(8 * c, 8), :]
+            g_start = (rec >> 28) & 1
+            in_r = (rec >> 27) & 1
+            gc = (rec >> 21) & 63
+            ln = (rec >> 17) & 15
+            v11 = rec & 0x7FF
+            nb = st[1]
+            pad = (8 - (nb & 7)) & 7
+            hdr = _bitrev8(((ln - 1) << 5) | (gc - 1))
+            v = jnp.where(in_r > 0, _bitrev11(v11), 0)
+            v = v | jnp.where(g_start > 0, hdr << (in_r * 11), 0)
+            L = g_start * (pad + 8) + in_r * 11
+            return append(st, v, L)
+
+        st = jax.lax.fori_loop(0, nmax, tree_body, st)
+        # close the last group to its byte boundary
+        W0, nb, wi, fA, fC = st
+        st = append((W0, nb, wi, fA, fC), z8, (8 - (nb & 7)) & 7)
+
+        def pay_body(p, st):
+            v = scr_ref[pl.ds(512 + 16 * p, 8), :]
+            L = scr_ref[pl.ds(768 + 16 * p, 8), :]
+            return append(st, v, L)
+
+        st = jax.lax.fori_loop(0, (mlenmax + 3) // 4, pay_body, st)
+        W0, nb, wi, fA, fC = st
+        # final flush of the partial word
+        wA = jnp.where(wi < 8, wi, -1)
+        fA = jnp.where(iota_aw == _tile_g(wA, 8), _tile_g(W0, 8), fA)
+        wC = jnp.where(wi >= 8, wi - 8, -1)
+        fC = jnp.where(iota_cw == _rep_rows(wC, cont),
+                       _rep_rows(W0, cont), fC)
+        ok = ok & (size <= 4 * (8 + cont)).astype(I32)
+        return fC, fA, size, ok
+
+    fC, fA, size, ok = jax.lax.cond(
+        nmax <= 16, lambda: tail(16), lambda: tail(64))
+    words_ref[...] = fC.T
+    a_ref[...] = fA
+    size_ref[...] = size
+    ok_ref[...] = ok
+
+
+@functools.partial(jax.jit, static_argnames=("cont", "interpret", "tile"))
+def encode_words_packed(pairs8: jnp.ndarray, cont: int = 8,
+                        interpret: bool = False, tile: int | None = None):
+    """[256, NP] i32 packed-8 coefficient pairs (dct_quantize_words
+    layout; lane columns beyond the real block count may carry pad
+    blocks — their outputs are valid chunks the caller ignores) ->
+    (wordsC [NP_t*8, cont] i32 block-major CONTINUATION words (words 8..
+    of each chunk; NP_t = NP padded to the tile), A [64, NP_t] i32 —
+    every chunk's first 8 words in the packed decoder's W0 layout,
+    sizes [NP_t*8], ok [NP_t*8]).
+
+    Words live in the kernel stream space (bit-reversed bytes packed
+    big-endian): A feeds decode_words8_packed_split directly and the
+    on-disk stream is one linear host pass away (native.repack_split)."""
+    tp = tile or TP
+    npc = pairs8.shape[1]
+    pad = (-npc) % tp
+    if pad:
+        pairs8 = jnp.concatenate(
+            [pairs8, jnp.zeros((256, pad), I32)], axis=1)
+    ntp = pairs8.shape[1]
+    grid = (ntp // tp,)
+    wordsT, A, size8, ok8 = pl.pallas_call(
+        _encode_kernel8,
+        out_shape=(jax.ShapeDtypeStruct((ntp, 8 * cont), I32),
+                   jax.ShapeDtypeStruct((64, ntp), I32),
+                   jax.ShapeDtypeStruct((8, ntp), I32),
+                   jax.ShapeDtypeStruct((8, ntp), I32)),
+        grid=grid,
+        in_specs=[pl.BlockSpec((256, tp), lambda i: (0, i))],
+        out_specs=(pl.BlockSpec((tp, 8 * cont), lambda i: (i, 0)),
+                   pl.BlockSpec((64, tp), lambda i: (0, i)),
+                   pl.BlockSpec((8, tp), lambda i: (0, i)),
+                   pl.BlockSpec((8, tp), lambda i: (0, i))),
+        scratch_shapes=[pltpu.VMEM((2048, tp), I32)],
+        interpret=interpret,
+    )(pairs8)
+    # free reshape: row 8c + (col // cont), word col % cont
+    wordsC = wordsT.reshape(ntp * 8, cont)
+    sizes = size8.T.reshape(ntp * 8)
+    ok = ok8.T.reshape(ntp * 8)
+    return wordsC, A, sizes, ok != 0
+
+
+@functools.partial(jax.jit, static_argnames=("cont", "interpret", "tile"))
+def encode_words8(coeffs: jnp.ndarray, cont: int = 56,
+                  interpret: bool = False, tile: int | None = None):
+    """[N, 64] int16 coefficients (element order) -> ([N, 8+cont] i32
+    packed-word canvas block-major, A [64, ceil8(N)], [N] sizes, [N] ok)
+    via the packed pair kernel (test/interop entry; the frame path feeds
+    packed pairs directly)."""
+    from ..kernels.pallas_dct8 import pack_rows8
+    n = coeffs.shape[0]
+    zz = jnp.asarray(np.asarray(ZIGZAG, np.int32))
+    msg = coeffs.astype(I32)[:, zz]                   # [N, 64] zigzag order
+    pairs = (msg[:, 0::2] & 0xFFFF) | (msg[:, 1::2] << 16)   # [N, 32]
+    padn = (-n) % 8
+    if padn:
+        pairs = jnp.concatenate(
+            [pairs, jnp.zeros((padn, 32), I32)], axis=0)
+    wordsC, A, sizes, ok = encode_words_packed(
+        pack_rows8(pairs), cont=cont, interpret=interpret, tile=tile)
+    ntp = A.shape[1]
+    a_bm = A.reshape(8, 8, ntp).transpose(2, 1, 0).reshape(ntp * 8, 8)
+    words = jnp.concatenate([a_bm, wordsC], axis=1)
+    return words[:n], A, sizes[:n], ok[:n]
+
+
+def encode_lanes8(coeffs: jnp.ndarray, interpret: bool = False,
+                  tile: int | None = None):
+    """[N, 64] int16 -> ([N, 256] u8 lanes, [N] sizes, [N] ok): drop-in
+    equivalent of pallas_encode.encode_lanes via the packed kernel."""
+    from .pallas_encode import _unpack_words
+    words, _A, sizes, ok = encode_words8(coeffs, cont=56,
+                                         interpret=interpret, tile=tile)
+    return _unpack_words(words), sizes, ok

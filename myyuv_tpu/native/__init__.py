@@ -32,10 +32,13 @@ def _default_threads() -> int:
 
 
 def build(force: bool = False) -> bool:
-    """Compile the shared library; returns True on success."""
-    if _LIB_PATH.exists() and not force:
-        return True
+    """Compile the shared library (also when the source is newer than
+    the binary — an ABI-stale .so would silently corrupt streams);
+    returns True on success."""
     src = _DIR / "entropy.cpp"
+    if (_LIB_PATH.exists() and not force
+            and _LIB_PATH.stat().st_mtime >= src.stat().st_mtime):
+        return True
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
            "-ffp-contract=off", "-pthread", str(src), "-o", str(_LIB_PATH)]
     try:
@@ -81,10 +84,11 @@ def load() -> Optional[ctypes.CDLL]:
                                        ctypes.c_int32, u32p]
     lib.myyuv_repack_split.restype = ctypes.c_int64
     lib.myyuv_repack_split.argtypes = [u32p, u32p, i32p, ctypes.c_int64,
-                                       ctypes.c_int32, u8p]
+                                       ctypes.c_int64, ctypes.c_int32, u8p]
     lib.myyuv_expand_split.restype = ctypes.c_int64
     lib.myyuv_expand_split.argtypes = [u8p, i32p, ctypes.c_int64,
-                                       ctypes.c_int32, u32p, u32p]
+                                       ctypes.c_int64, ctypes.c_int32,
+                                       u32p, u32p]
     f32p = ctypes.POINTER(ctypes.c_float)
     lib.myyuv_compress_plane.restype = ctypes.c_int64
     lib.myyuv_compress_plane.argtypes = [
@@ -282,18 +286,22 @@ def expand_words(content: np.ndarray, sizes: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def repack_split(aT: np.ndarray, b: np.ndarray, sizes: np.ndarray,
+def repack_split(a: np.ndarray, b: np.ndarray, sizes: np.ndarray,
                  slots: int = 16) -> np.ndarray:
     """Split-stream interchange -> exact packed byte stream.
 
-    ``aT``: i32/u32 [8, N] word-major A region (each chunk's first 32
-    bytes); ``b``: i32/u32 [nseg*slots, 8] SEGMENT-PADDED continuation
-    rows (64-block segment g owns rows [g*slots, (g+1)*slots));
-    ``sizes``: per-block chunk bytes. Returns u8 [sum(sizes)]."""
+    ``a``: i32/u32 [64, a_cols] PACKED-8 A region (the decode kernels'
+    W0 window layout: word w of block i at a[8*w + i%8, i//8];
+    a_cols >= ceil(N/8), extra lane columns ignored); ``b``: i32/u32
+    [nseg*slots, 8] SEGMENT-PADDED continuation rows (64-block segment g
+    owns rows [g*slots, (g+1)*slots)); ``sizes``: per-block chunk bytes.
+    Returns u8 [sum(sizes)]."""
     sizes = np.ascontiguousarray(sizes, np.int32)
     n = sizes.size
     slots = int(b.size // 8 // ((n + 63) // 64)) if b.size else slots
-    aT_u = np.ascontiguousarray(aT).view(np.uint32).reshape(8, n)
+    a_u = np.ascontiguousarray(a).view(np.uint32)
+    a_cols = a_u.size // 64
+    a_u = a_u.reshape(64, a_cols)
     b_u = np.ascontiguousarray(b).view(np.uint32).reshape(-1, 8)
     total = int(sizes.astype(np.int64).sum())
     lib = load()
@@ -301,9 +309,9 @@ def repack_split(aT: np.ndarray, b: np.ndarray, sizes: np.ndarray,
         out = np.empty(total, np.uint8)
         u32p = ctypes.POINTER(ctypes.c_uint32)
         lib.myyuv_repack_split(
-            aT_u.ctypes.data_as(u32p), b_u.ctypes.data_as(u32p),
+            a_u.ctypes.data_as(u32p), b_u.ctypes.data_as(u32p),
             sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            n, slots, _u8p(out))
+            n, a_cols, slots, _u8p(out))
         return out
     # numpy fallback: rebuild the plain 4-byte-aligned word stream and
     # reuse repack_words
@@ -320,7 +328,8 @@ def repack_split(aT: np.ndarray, b: np.ndarray, sizes: np.ndarray,
     block_of = np.repeat(np.arange(n), w1)
     k_in = np.arange(flat.size) - woffs[block_of]
     low = k_in < 8
-    flat[low] = aT_u[k_in[low], block_of[low]]
+    bl = block_of[low]
+    flat[low] = a_u[8 * k_in[low] + bl % 8, bl // 8]
     hi = ~low
     if hi.any():
         flat[hi] = b_u[boffs[block_of[hi]] + (k_in[hi] - 8) // 8,
@@ -331,21 +340,24 @@ def repack_split(aT: np.ndarray, b: np.ndarray, sizes: np.ndarray,
 def expand_split(content: np.ndarray, sizes: np.ndarray,
                  slots: int = 16):
     """Exact packed byte stream -> split-stream interchange
-    (aT i32 [8, N], b i32 [nseg*slots, 8] segment-padded)."""
+    (a i32 [64, ceil8(N)] packed-8 W0 layout, b i32 [nseg*slots, 8]
+    segment-padded)."""
     sizes = np.ascontiguousarray(sizes, np.int32)
     content = np.ascontiguousarray(content, np.uint8)
     n = sizes.size
     nseg = (n + 63) // 64
+    a_cols = (n + 7) // 8
     lib = load()
     if lib is not None:
-        aT = np.empty((8, n), np.uint32)
+        a = np.empty((64, a_cols), np.uint32)
         b = np.empty((nseg * slots, 8), np.uint32)
         u32p = ctypes.POINTER(ctypes.c_uint32)
         lib.myyuv_expand_split(
             _u8p(content),
             sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            n, slots, aT.ctypes.data_as(u32p), b.ctypes.data_as(u32p))
-        return aT.view(np.int32), b.view(np.int32)
+            n, a_cols, slots, a.ctypes.data_as(u32p),
+            b.ctypes.data_as(u32p))
+        return a.view(np.int32), b.view(np.int32)
     words = expand_words(content, sizes, align=1).view(np.uint32)
     w1 = (sizes.astype(np.int64) + 3) // 4
     woffs = np.cumsum(w1) - w1
@@ -358,12 +370,15 @@ def expand_split(content: np.ndarray, sizes: np.ndarray,
              + in_seg).reshape(-1)[:n]
     block_of = np.repeat(np.arange(n), w1)
     k_in = np.arange(words.size) - woffs[block_of]
-    aT = np.zeros((8, n), np.uint32)
+    a = np.zeros((64, a_cols), np.uint32)
+    pad_blocks = np.arange(n, 8 * a_cols)
+    a[pad_blocks % 8, pad_blocks // 8] = 0x8000C000  # _FILLER_W0
     low = k_in < 8
-    aT[k_in[low], block_of[low]] = words[low]
+    bl = block_of[low]
+    a[8 * k_in[low] + bl % 8, bl // 8] = words[low]
     b = np.zeros((nseg * slots, 8), np.uint32)
     hi = ~low
     if hi.any():
         b[boffs[block_of[hi]] + (k_in[hi] - 8) // 8,
           (k_in[hi] - 8) % 8] = words[hi]
-    return aT.view(np.int32), b.view(np.int32)
+    return a.view(np.int32), b.view(np.int32)

@@ -1,9 +1,10 @@
 """Split-stream device interchange: converters and edge geometries.
 
-The frame/batch device paths carry compressed data as (A [8, N] first-row
-words, B continuation rows, sizes); these tests pin the native/numpy
-converters and the XLA compact/expand round trip on streams with many
-multi-row chunks (high quality) and non-multiple-of-8 block counts.
+The frame/batch device paths carry compressed data as (A [64, ceil8(N)]
+packed-8 first-32-byte words in the decoder's W0 window layout, B
+continuation rows, sizes); these tests pin the native/numpy converters
+and the XLA compact/expand round trip on streams with many multi-row
+chunks (high quality) and non-multiple-of-8 block counts.
 """
 import numpy as np
 import jax.numpy as jnp
@@ -23,7 +24,7 @@ def test_native_split_roundtrip(rng):
     sizes = rng.integers(5, 250, 400).astype(np.int32)
     content = rng.integers(0, 256, int(sizes.sum())).astype(np.uint8)
     aT, b = native.expand_split(content, sizes, slots=448)
-    assert aT.shape == (8, 400)
+    assert aT.shape == (64, 50)
     out = native.repack_split(aT, b, sizes)
     assert np.array_equal(out, content)
 

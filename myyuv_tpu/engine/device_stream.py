@@ -54,28 +54,26 @@ CAPR8_ROOMY = 24                # 3 rows: the per-block-cap worst case
 # chunk's first 32 bytes ([64, ceil8(N)] in the packed decoder's W0
 # window layout, row 8w + r = word w of block 8c + r — a free second
 # output of the Pallas encoder's register file that the decode kernels
-# consume verbatim), region B only the continuation rows
-# of chunks >32 B (1.2% of blocks at q50). B is SEGMENT-PADDED: blocks
-# group into 64-block segments, each owning a static ``slots`` rows, so
-# every slot->block map is a small [nseg, 64, slots] one-hot
-# compare-reduce — NO N-index scatter anywhere (an ``.at[offs].max``
-# over all N blocks costs ~5 ms/4K frame; these maps cost <1).
-# ``capb8_pb`` budgets B in eighth-rows per block (slots = 8*capb8_pb).
-SEG = 64                        # blocks per B segment
-CAPB8_DEFAULT = 4               # 32 slots/segment (golden q50 max: 27)
-CAPB8_MID = 16                  # 128 slots (q90-class streams: max ~79)
-CAPB8_ROOMY = 56                # 448 slots: every legal stream
+# consume verbatim), region B only the continuation rows of chunks
+# >32 B (1.2% of blocks at q50), GLOBALLY STREAM-COMPACTED: live rows
+# back to back in block order, budgeted by a global average (no
+# per-segment padding — the round-1 segment scheme sized every map and
+# scatter by a 40x-overprovisioned capacity). The row->block map costs
+# one nseg-index scatter (segment-start marks -> cumsum) plus a 64-wide
+# in-segment searchsorted — no N-index scatter anywhere (an
+# ``.at[offs].max`` over all N blocks costs ~5 ms/4K frame).
+# ``capb8_pb`` budgets B in eighth-rows per block GLOBAL AVERAGE
+# (capacity rows = npad * capb8_pb / 8).
+SEG = 64                        # blocks per map segment
+CAPB8_DEFAULT = 1               # 4 B/block avg (golden q50 uses ~10%)
+CAPB8_MID = 8                   # 32 B/block avg (covers q90-class)
+CAPB8_ROOMY = 56                # 224 B/block: every legal stream
 CAPB8_LADDER = (CAPB8_DEFAULT, CAPB8_MID, CAPB8_ROOMY)
 
 
-def slots_for(capb8_pb: int = CAPB8_DEFAULT) -> int:
-    """B-region slots (32-byte rows) per 64-block segment."""
-    return SEG * capb8_pb // 8
-
-
-def capb_total(n: int, capb8_pb: int = CAPB8_DEFAULT) -> int:
-    """B-region capacity in 8-word (32-byte) rows for n blocks."""
-    return -(-n // SEG) * slots_for(capb8_pb)
+def capb_total(npad: int, capb8_pb: int = CAPB8_DEFAULT) -> int:
+    """B-region capacity in 8-word (32-byte) rows for npad blocks."""
+    return max(npad * capb8_pb // 8, 1)
 
 
 def capr_total(n: int, capr8_pb: int = CAPR8_DEFAULT) -> int:
@@ -295,50 +293,41 @@ def _chunk_rows(sizes):
     return (sizes + 4 * ALIGN_W - 1) // (4 * ALIGN_W)
 
 
-def _seg_maps(sizes_r, npad: int | None = None):
-    """Per-segment continuation-row geometry, TRANSPOSED so the big
-    nseg axis rides the lanes: (ovfT [SEG, nseg], exclusive in-segment
-    offsets [SEG, nseg], totals [nseg]).
+def _b_maps(sizes_r, npad: int, capb: int):
+    """Global stream-compaction maps for the B region.
 
-    ``npad`` overrides the padded block count (a SEG multiple >= n) so
-    both interchange sides can derive the segmentation from the A-region
-    width — pad blocks carry <=32-byte chunks, i.e. zero continuation
-    rows, so padding is free."""
+    For each compacted B row p (stream order, capacity ``capb`` rows)
+    returns (src_block [capb] — the owning block id in [0, npad), r0
+    [capb] — its 0-based continuation-row index, total — the live row
+    count). Rows p >= total carry garbage ids (callers clamp/drop).
+
+    Scatter/gather economics: one nseg-index scatter (segment start
+    marks -> cumsum -> per-row segment), one capb-element gather of the
+    segment offsets, one capb-row gather of the per-segment inclusive
+    row cumsums, then a 64-wide searchsorted per row — every cost is
+    O(capb + nseg), never O(N)."""
     n = sizes_r.shape[0]
-    if npad is None:
-        npad = -(-n // SEG) * SEG
     nseg = npad // SEG
     ovf = jnp.maximum(sizes_r.astype(jnp.int32) - 1, 0)
     if npad != n:
-        ovf = jnp.concatenate(
-            [ovf, jnp.zeros(npad - n, jnp.int32)])
-    ovfT = ovf.reshape(nseg, SEG).T
-    offT = jnp.cumsum(ovfT, axis=0) - ovfT
-    return ovfT, offT, jnp.sum(ovfT, axis=0)
-
-
-def _slot_maps(ovfT, offT, slots: int):
-    """Per-slot owning block (in-segment id, -1 when none yet) and
-    within-chunk row (1-based), both [slots, nseg] — scatter-free: one
-    [slots, SEG, nseg] one-hot compare-reduce plus log-step running
-    maxes along the small slot axis (static row shifts; every op keeps
-    nseg on the lanes)."""
-    nseg = ovfT.shape[1]
-    t = jnp.arange(slots, dtype=jnp.int32)[:, None]
-    startm = (offT[None] == t[:, None]) & (ovfT[None] > 0)
-    bid = jnp.sum(
-        startm * (jnp.arange(SEG, dtype=jnp.int32)[None, :, None] + 1),
-        axis=1) - 1                                    # [slots, nseg]
-    blk = bid
-    st = jnp.where(bid >= 0, t, -1)
-    s = 1
-    while s < slots:
-        neg = jnp.full((s, nseg), -1, jnp.int32)
-        blk = jnp.maximum(blk, jnp.concatenate([neg, blk[:-s]], axis=0))
-        st = jnp.maximum(st, jnp.concatenate([neg, st[:-s]], axis=0))
-        s <<= 1
-    r_of = t - st + 1
-    return blk, r_of
+        ovf = jnp.concatenate([ovf, jnp.zeros(npad - n, jnp.int32)])
+    cumS = jnp.cumsum(ovf.reshape(nseg, SEG), axis=1)   # [nseg, SEG] incl
+    seg_tot = cumS[:, -1]
+    soffs = jnp.cumsum(seg_tot) - seg_tot               # [nseg] exclusive
+    total = soffs[-1] + seg_tot[-1]
+    # owning segment per row: start marks (duplicates at empty segments
+    # are fine — add accumulates, cumsum-1 lands on the owner)
+    mark = jnp.zeros((capb,), jnp.int32).at[soffs].add(
+        1, mode="drop", indices_are_sorted=True)
+    seg_of = jnp.cumsum(mark) - 1                       # [capb]
+    q = jnp.arange(capb, dtype=jnp.int32) - soffs[seg_of]
+    cum_rows = cumS[seg_of]                             # [capb, SEG]
+    qc = q[:, None]
+    blockin = jnp.sum((cum_rows <= qc).astype(jnp.int32), axis=1)
+    iota64 = jnp.arange(SEG, dtype=jnp.int32)[None, :]
+    off_own = jnp.sum(
+        jnp.where(iota64 == blockin[:, None] - 1, cum_rows, 0), axis=1)
+    return seg_of * SEG + blockin, q - off_own, total
 
 
 def _a_to_packed(aT):
@@ -358,38 +347,33 @@ def _a_to_packed(aT):
 
 def _compact_split(wordsC, A, sizes, ok, capb8_pb: int = CAPB8_DEFAULT):
     """(wordsC [>=N, cont] block-major continuation words, A region) ->
-    (contentA [64, ceil8(N)] packed-8, contentB [nseg*slots*8] i32,
-    sizes, total bytes, ok).
+    (contentA [64, ceil8(N)] packed-8, contentB [capb*8] i32
+    stream-compacted, sizes, total bytes, ok).
 
     ``A`` arrives either packed-8 [64, *] (the Pallas encoder emits the
     decoder's W0 layout directly — pass-through) or word-major [8, N]
-    (the flat/CPU encoders — one relayout). B gathers the continuation
-    rows into the segment-padded region — ~capb indices instead of the
-    ~N of the old aligned-row compaction (tools/exp_split3.py).
+    (the flat/CPU encoders — one relayout). B gathers the live
+    continuation rows back to back in block order — ~capb indices, and
+    capb hugs the global average instead of a per-segment worst case.
     ``cont`` (8 or 56 words) is the encoder's emission tier; chunks
     beyond it were already flagged in ok. ``wordsC`` may carry trailing
     pad-block rows (the packed encoder's tile padding) — never
     gathered."""
-    n = sizes.shape[0]
     sizes = sizes.astype(jnp.int32)
     sizes_r = _chunk_rows(sizes)
     total = jnp.sum(sizes)
-    slots = slots_for(capb8_pb)
     crows = wordsC.shape[1] // ALIGN_W
     contentA = A if A.shape[0] == 64 else _a_to_packed(A)
-    # segmentation derives from the A width on BOTH interchange sides,
-    # so decompress consumes contentA verbatim (no slice/pad copy)
+    # the padded block count derives from the A width on BOTH
+    # interchange sides, so contentA crosses without any copy
     npad = -(-contentA.shape[1] * 8 // SEG) * SEG
-    ovfT, offT, seg_tot = _seg_maps(sizes_r, npad)
-    blk, r_of = _slot_maps(ovfT, offT, slots)          # [slots, nseg]
-    nseg = ovfT.shape[1]
-    seg = jnp.arange(nseg, dtype=jnp.int32)[None, :]
-    gsrc = (seg * SEG + jnp.clip(blk, 0, SEG - 1)) * crows \
-        + jnp.clip(r_of - 1, 0, crows - 1)
+    capb = capb_total(npad, capb8_pb)
+    src_block, r0, totb = _b_maps(sizes_r, npad, capb)
+    gsrc = jnp.clip(src_block, 0, npad - 1) * crows \
+        + jnp.clip(r0, 0, crows - 1)
     rows = wordsC.reshape(-1, ALIGN_W)
-    B = rows[jnp.clip(gsrc.T.reshape(-1), 0, rows.shape[0] - 1)]
-    return (contentA, B.reshape(-1), sizes, total,
-            ok & jnp.all(seg_tot <= slots))
+    B = rows[jnp.clip(gsrc, 0, rows.shape[0] - 1)]
+    return (contentA, B.reshape(-1), sizes, total, ok & (totb <= capb))
 
 
 def _expand_split(contentA, contentB, sizes_r, cw: int):
@@ -400,40 +384,35 @@ def _expand_split(contentA, contentB, sizes_r, cw: int):
     rows cw/8.. come from a ~capb-row scatter of region B
     into a zero canvas (rows past a chunk's extent stay zero — the
     decoders consume exactly enc_bits+tree bits, so they never read
-    them). Every segment's canvas strip carries ``slots`` trailing sink
-    rows so invalid slots get monotone, collision-free targets (the
-    sorted/unique scatter hints stay honest). Blocks whose chunk
-    exceeds cw bytes flip the caller's ok."""
+    them). Live rows scatter to strictly increasing block-major targets
+    (stream order IS target order); dead capacity rows get monotone
+    out-of-range indices and drop — the sorted/unique hints stay honest
+    with no sink rows in the canvas. Blocks whose chunk exceeds cw
+    bytes flip the caller's ok (their clamped targets may collide, and
+    the whole output is discarded)."""
     from ..entropy.pallas_decode import _FILLER_W0
 
-    n = sizes_r.shape[0]
     cwr = cw // ALIGN_W
-    # same A-width-derived segmentation as _compact_split, so contentA
-    # and contentB geometries line up without any copy
+    # same A-width-derived geometry as _compact_split, so contentA and
+    # contentB line up without any copy
     npad = -(-contentA.shape[1] * 8 // SEG) * SEG
-    ovfT, offT, seg_tot = _seg_maps(sizes_r, npad)
-    nseg = ovfT.shape[1]
-    slots = contentB.shape[0] // (nseg * ALIGN_W)
-    B = contentB.reshape(nseg * slots, ALIGN_W)
-    blk, r_of = _slot_maps(ovfT, offT, slots)          # [slots, nseg]
-    t = jnp.arange(slots, dtype=jnp.int32)[:, None]
-    valid = (t < seg_tot[None, :]) & (blk >= 0) & (r_of <= cwr - 1)
-    seg = jnp.arange(nseg, dtype=jnp.int32)[None, :]
-    stride = SEG * (cwr - 1) + slots            # + per-segment sink rows
-    tgt = seg * stride + jnp.where(
-        valid, jnp.clip(blk, 0, SEG - 1) * (cwr - 1) + r_of - 1,
-        SEG * (cwr - 1) + t)
-    Wcs = jnp.zeros((nseg * stride, ALIGN_W), jnp.int32).at[
-        tgt.T.reshape(-1)].set(B, mode="drop", indices_are_sorted=True,
-                               unique_indices=True)
-    Wc = Wcs.reshape(nseg, stride, ALIGN_W)[:, :SEG * (cwr - 1)]
-    n8 = nseg * SEG // 8
+    capb = contentB.shape[0] // ALIGN_W
+    B = contentB.reshape(capb, ALIGN_W)
+    src_block, r0, totb = _b_maps(sizes_r, npad, capb)
+    canvas = npad * (cwr - 1)
+    p = jnp.arange(capb, dtype=jnp.int32)
+    tgt = jnp.where(p < totb,
+                    jnp.clip(src_block, 0, npad - 1) * (cwr - 1)
+                    + jnp.clip(r0, 0, cwr - 2),
+                    canvas + p)
+    Wc = jnp.zeros((canvas, ALIGN_W), jnp.int32).at[tgt].set(
+        B, mode="drop", indices_are_sorted=True, unique_indices=True)
+    n8 = npad // 8
     # contentA is already the decoder's W0 layout ([64, ceil8(n)]);
-    # pad/slice the lane columns to the segment-padded block count
+    # pad the lane columns up to the SEG-padded block count if the A
+    # region came from the host/flat converters
     W0 = contentA
-    if W0.shape[1] > n8:
-        W0 = W0[:, :n8]
-    elif W0.shape[1] < n8:
+    if W0.shape[1] < n8:
         fill = jnp.zeros((64, n8 - W0.shape[1]), jnp.int32
                          ).at[0:8].set(_FILLER_W0)
         W0 = jnp.concatenate([W0, fill], axis=1)
@@ -878,20 +857,17 @@ def _pad_interchange(words_np: np.ndarray, n: int) -> np.ndarray:
     raise BitstreamError("stream larger than device capacity")
 
 
-def _slots_needed(sizes_np: np.ndarray) -> int:
-    """Smallest static slot geometry (default, then roomy) whose
-    per-segment capacity covers the stream; raises when even roomy is
-    exceeded."""
+def _capb_needed(sizes_np: np.ndarray) -> int:
+    """Smallest static B capacity tier (in 32-byte rows) covering the
+    stream's live continuation rows; raises when even the roomy tier is
+    exceeded (cannot happen for format-legal <=255 B chunks)."""
     sizes_r = (sizes_np.astype(np.int64) + 4 * ALIGN_W - 1) \
         // (4 * ALIGN_W)
-    ovf = np.maximum(sizes_r - 1, 0)
-    pad = (-ovf.size) % SEG
-    if pad:
-        ovf = np.concatenate([ovf, np.zeros(pad, np.int64)])
-    segmax = int(ovf.reshape(-1, SEG).sum(axis=1).max(initial=0))
+    totb = int(np.maximum(sizes_r - 1, 0).sum())
+    npad = -(-sizes_np.size * 8 // (8 * SEG)) * SEG
     for capb8_pb in CAPB8_LADDER:
-        if segmax <= slots_for(capb8_pb):
-            return slots_for(capb8_pb)
+        if totb <= capb_total(npad, capb8_pb):
+            return capb_total(npad, capb8_pb)
     raise BitstreamError("stream larger than device capacity")
 
 
@@ -901,8 +877,8 @@ def decompress_streams_to_frame(streams, qtables_np, h: int, w: int,
     from .. import native
     sizes_np = np.concatenate([s.astype(np.int32) for s, _ in streams])
     content_np = np.concatenate([c for _, c in streams])
-    slots = _slots_needed(sizes_np)
-    aT_np, b_np = native.expand_split(content_np, sizes_np, slots)
+    capb = _capb_needed(sizes_np)
+    aT_np, b_np = native.expand_split(content_np, sizes_np, capb)
     cw = 16 if int(sizes_np.max(initial=0)) <= 64 else 64
     y, u, v, ok = decompress_frame(
         jnp.asarray(aT_np), jnp.asarray(b_np.reshape(-1)),

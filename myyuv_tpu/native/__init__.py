@@ -84,10 +84,10 @@ def load() -> Optional[ctypes.CDLL]:
                                        ctypes.c_int32, u32p]
     lib.myyuv_repack_split.restype = ctypes.c_int64
     lib.myyuv_repack_split.argtypes = [u32p, u32p, i32p, ctypes.c_int64,
-                                       ctypes.c_int64, ctypes.c_int32, u8p]
+                                       ctypes.c_int64, ctypes.c_int64, u8p]
     lib.myyuv_expand_split.restype = ctypes.c_int64
     lib.myyuv_expand_split.argtypes = [u8p, i32p, ctypes.c_int64,
-                                       ctypes.c_int64, ctypes.c_int32,
+                                       ctypes.c_int64, ctypes.c_int64,
                                        u32p, u32p]
     f32p = ctypes.POINTER(ctypes.c_float)
     lib.myyuv_compress_plane.restype = ctypes.c_int64
@@ -286,19 +286,18 @@ def expand_words(content: np.ndarray, sizes: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def repack_split(a: np.ndarray, b: np.ndarray, sizes: np.ndarray,
-                 slots: int = 16) -> np.ndarray:
+def repack_split(a: np.ndarray, b: np.ndarray, sizes: np.ndarray) \
+        -> np.ndarray:
     """Split-stream interchange -> exact packed byte stream.
 
     ``a``: i32/u32 [64, a_cols] PACKED-8 A region (the decode kernels'
     W0 window layout: word w of block i at a[8*w + i%8, i//8];
     a_cols >= ceil(N/8), extra lane columns ignored); ``b``: i32/u32
-    [nseg*slots, 8] SEGMENT-PADDED continuation rows (64-block segment g
-    owns rows [g*slots, (g+1)*slots)); ``sizes``: per-block chunk bytes.
+    [capb, 8] continuation rows, globally stream-compacted back to back
+    in block order; ``sizes``: per-block chunk bytes.
     Returns u8 [sum(sizes)]."""
     sizes = np.ascontiguousarray(sizes, np.int32)
     n = sizes.size
-    slots = int(b.size // 8 // ((n + 63) // 64)) if b.size else slots
     a_u = np.ascontiguousarray(a).view(np.uint32)
     a_cols = a_u.size // 64
     a_u = a_u.reshape(64, a_cols)
@@ -311,19 +310,14 @@ def repack_split(a: np.ndarray, b: np.ndarray, sizes: np.ndarray,
         lib.myyuv_repack_split(
             a_u.ctypes.data_as(u32p), b_u.ctypes.data_as(u32p),
             sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            n, a_cols, slots, _u8p(out))
+            n, a_cols, b_u.shape[0], _u8p(out))
         return out
     # numpy fallback: rebuild the plain 4-byte-aligned word stream and
     # reuse repack_words
     w1 = (sizes.astype(np.int64) + 3) // 4
     woffs = np.cumsum(w1) - w1
     nbr = np.maximum((sizes.astype(np.int64) + 31) // 32 - 1, 0)
-    pad = (-n) % 64
-    nbr_p = np.concatenate([nbr, np.zeros(pad, np.int64)])
-    segs = nbr_p.reshape(-1, 64)
-    in_seg = np.cumsum(segs, axis=1) - segs
-    boffs = (np.arange(segs.shape[0])[:, None] * slots
-             + in_seg).reshape(-1)[:n]
+    boffs = np.cumsum(nbr) - nbr
     flat = np.zeros(int(w1.sum()), np.uint32)
     block_of = np.repeat(np.arange(n), w1)
     k_in = np.arange(flat.size) - woffs[block_of]
@@ -338,36 +332,34 @@ def repack_split(a: np.ndarray, b: np.ndarray, sizes: np.ndarray,
 
 
 def expand_split(content: np.ndarray, sizes: np.ndarray,
-                 slots: int = 16):
+                 capb: int | None = None):
     """Exact packed byte stream -> split-stream interchange
-    (a i32 [64, ceil8(N)] packed-8 W0 layout, b i32 [nseg*slots, 8]
-    segment-padded)."""
+    (a i32 [64, ceil8(N)] packed-8 W0 layout, b i32 [capb, 8] globally
+    stream-compacted continuation rows; ``capb`` defaults to the exact
+    live row count)."""
     sizes = np.ascontiguousarray(sizes, np.int32)
     content = np.ascontiguousarray(content, np.uint8)
     n = sizes.size
-    nseg = (n + 63) // 64
     a_cols = (n + 7) // 8
+    nbr = np.maximum(
+        (sizes.astype(np.int64) + 31) // 32 - 1, 0)
+    if capb is None:
+        capb = max(int(nbr.sum()), 1)
     lib = load()
     if lib is not None:
         a = np.empty((64, a_cols), np.uint32)
-        b = np.empty((nseg * slots, 8), np.uint32)
+        b = np.empty((capb, 8), np.uint32)
         u32p = ctypes.POINTER(ctypes.c_uint32)
         lib.myyuv_expand_split(
             _u8p(content),
             sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            n, a_cols, slots, a.ctypes.data_as(u32p),
+            n, a_cols, capb, a.ctypes.data_as(u32p),
             b.ctypes.data_as(u32p))
         return a.view(np.int32), b.view(np.int32)
     words = expand_words(content, sizes, align=1).view(np.uint32)
     w1 = (sizes.astype(np.int64) + 3) // 4
     woffs = np.cumsum(w1) - w1
-    nbr = np.maximum((sizes.astype(np.int64) + 31) // 32 - 1, 0)
-    pad = (-n) % 64
-    nbr_p = np.concatenate([nbr, np.zeros(pad, np.int64)])
-    segs = nbr_p.reshape(-1, 64)
-    in_seg = np.cumsum(segs, axis=1) - segs
-    boffs = (np.arange(segs.shape[0])[:, None] * slots
-             + in_seg).reshape(-1)[:n]
+    boffs = np.cumsum(nbr) - nbr
     block_of = np.repeat(np.arange(n), w1)
     k_in = np.arange(words.size) - woffs[block_of]
     a = np.zeros((64, a_cols), np.uint32)
@@ -376,7 +368,7 @@ def expand_split(content: np.ndarray, sizes: np.ndarray,
     low = k_in < 8
     bl = block_of[low]
     a[8 * k_in[low] + bl % 8, bl // 8] = words[low]
-    b = np.zeros((nseg * slots, 8), np.uint32)
+    b = np.zeros((capb, 8), np.uint32)
     hi = ~low
     if hi.any():
         b[boffs[block_of[hi]] + (k_in[hi] - 8) // 8,

@@ -590,18 +590,14 @@ int64_t myyuv_repack_words(const uint32_t* words, const int32_t* sizes,
 // Split-stream interchange -> exact packed byte stream. a is
 // [64, a_cols] PACKED-8 (the decoder's W0 window layout: word w of
 // block i at a[(8*w + (i&7))*a_cols + (i>>3)]) holding each chunk's
-// first 32 bytes; b is SEGMENT-PADDED: 64-block segment g owns rows
-// [g*slots, (g+1)*slots) (8 u32 = 32 bytes each), holding its blocks'
-// continuation rows back to back. out must hold sum(sizes) bytes.
+// first 32 bytes; b holds the live continuation rows (8 u32 = 32 bytes
+// each) GLOBALLY STREAM-COMPACTED back to back in block order
+// (capb rows total). out must hold sum(sizes) bytes.
 int64_t myyuv_repack_split(const uint32_t* a, const uint32_t* b,
                            const int32_t* sizes, int64_t n_blocks,
-                           int64_t a_cols, int32_t slots, uint8_t* out) {
-  int64_t o = 0, seg_base = 0, in_seg = 0;
+                           int64_t a_cols, int64_t capb, uint8_t* out) {
+  int64_t o = 0, brow = 0;
   for (int64_t i = 0; i < n_blocks; ++i) {
-    if (i && (i & 63) == 0) {
-      seg_base += slots;
-      in_seg = 0;
-    }
     const int s = sizes[i];
     const int sa = s < 32 ? s : 32;
     const uint32_t* acol = a + int64_t(i & 7) * a_cols + (i >> 3);
@@ -610,37 +606,32 @@ int64_t myyuv_repack_split(const uint32_t* a, const uint32_t* b,
       out[o++] = bitrev8_tbl(uint8_t(w >> (24 - 8 * (j & 3))));
     }
     for (int j = 32; j < s; ++j) {
-      const int64_t r = in_seg + ((j - 32) >> 5);
+      const int64_t r = brow + ((j - 32) >> 5);
       const uint32_t w =
-          r < slots ? b[(seg_base + r) * 8 + (((j - 32) >> 2) & 7)] : 0;
+          r < capb ? b[r * 8 + (((j - 32) >> 2) & 7)] : 0;
       out[o++] = bitrev8_tbl(uint8_t(w >> (24 - 8 * (j & 3))));
     }
-    if (s > 32) in_seg += int64_t((s - 32 + 31) / 32);
+    if (s > 32) brow += int64_t((s - 32 + 31) / 32);
   }
   return o;
 }
 
 // Inverse: exact packed byte stream -> split-stream interchange. a must
 // hold 64*a_cols u32s (a_cols >= ceil(n/8); packed-8 W0 layout), b
-// ceil(n/64)*slots rows of 8 u32s (zero-padded).
-// Returns B rows used in the fullest segment (<= slots when valid).
+// capb rows of 8 u32s (globally stream-compacted, zero-padded).
+// Returns the live B row count (<= capb when valid).
 int64_t myyuv_expand_split(const uint8_t* content, const int32_t* sizes,
-                           int64_t n_blocks, int64_t a_cols, int32_t slots,
+                           int64_t n_blocks, int64_t a_cols, int64_t capb,
                            uint32_t* a, uint32_t* b) {
-  const int64_t nseg = (n_blocks + 63) / 64;
   for (int64_t k = 0; k < 64 * a_cols; ++k) a[k] = 0;
-  for (int64_t k = 0; k < nseg * slots * 8; ++k) b[k] = 0;
+  for (int64_t k = 0; k < capb * 8; ++k) b[k] = 0;
   // pad blocks (n..8*a_cols) carry the minimal valid all-zero-block
   // chunk header word (pallas_decode._FILLER_W0: enc_bits=1, tree=3 B)
   // so the decode kernels' loop bounds stay sane
   for (int64_t i = n_blocks; i < 8 * a_cols; ++i)
     a[int64_t(i & 7) * a_cols + (i >> 3)] = 0x8000c000u;
-  int64_t o = 0, seg_base = 0, in_seg = 0, max_seg = 0;
+  int64_t o = 0, brow = 0;
   for (int64_t i = 0; i < n_blocks; ++i) {
-    if (i && (i & 63) == 0) {
-      seg_base += slots;
-      in_seg = 0;
-    }
     const int s = sizes[i];
     const int sa = s < 32 ? s : 32;
     uint32_t* acol = a + int64_t(i & 7) * a_cols + (i >> 3);
@@ -648,16 +639,15 @@ int64_t myyuv_expand_split(const uint8_t* content, const int32_t* sizes,
       acol[int64_t(8 * (j >> 2)) * a_cols] |=
           uint32_t(bitrev8_tbl(content[o + j])) << (24 - 8 * (j & 3));
     for (int j = 32; j < s; ++j) {
-      const int64_t r = in_seg + ((j - 32) >> 5);
-      if (r < slots)
-        b[(seg_base + r) * 8 + (((j - 32) >> 2) & 7)] |=
+      const int64_t r = brow + ((j - 32) >> 5);
+      if (r < capb)
+        b[r * 8 + (((j - 32) >> 2) & 7)] |=
             uint32_t(bitrev8_tbl(content[o + j])) << (24 - 8 * (j & 3));
     }
-    if (s > 32) in_seg += int64_t((s - 32 + 31) / 32);
-    if (in_seg > max_seg) max_seg = in_seg;
+    if (s > 32) brow += int64_t((s - 32 + 31) / 32);
     o += s;
   }
-  return max_seg;
+  return brow;
 }
 
 // Inverse: exact packed byte stream -> aligned word stream. words_out must

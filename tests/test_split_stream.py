@@ -23,7 +23,7 @@ def rng():
 def test_native_split_roundtrip(rng):
     sizes = rng.integers(5, 250, 400).astype(np.int32)
     content = rng.integers(0, 256, int(sizes.sum())).astype(np.uint8)
-    aT, b = native.expand_split(content, sizes, slots=448)
+    aT, b = native.expand_split(content, sizes)
     assert aT.shape == (64, 50)
     out = native.repack_split(aT, b, sizes)
     assert np.array_equal(out, content)
@@ -32,11 +32,11 @@ def test_native_split_roundtrip(rng):
 def test_native_split_matches_fallback(rng):
     sizes = rng.integers(5, 250, 300).astype(np.int32)
     content = rng.integers(0, 256, int(sizes.sum())).astype(np.uint8)
-    aT, b = native.expand_split(content, sizes, slots=448)
+    aT, b = native.expand_split(content, sizes)
     lib, failed = native._lib, native._load_failed
     native._lib, native._load_failed = None, True
     try:
-        aT2, b2 = native.expand_split(content, sizes, slots=448)
+        aT2, b2 = native.expand_split(content, sizes)
         out2 = native.repack_split(aT2, b2, sizes)
     finally:
         native._lib, native._load_failed = lib, failed

@@ -243,12 +243,13 @@ def _compress_words_packed(y, u, v, qt_y, qt_u, qt_v, b: int, h: int,
         np.full(nc // 8, 2, np.int32)])
     pids = jnp.asarray(np.concatenate(
         [np.tile(pat, b), np.zeros(padc, np.int32)])[None])
-    cp = p8.dct_quantize_words(xw, qtx, pids)            # [256, ntp]
     cont = 8 if capb8_pb == CAPB8_DEFAULT else 56
-    # the packed-8 encoder consumes the DCT pair layout DIRECTLY (no
-    # relayout; pad lane columns encode as ignorable valid chunks) and
-    # emits A already in the decoder's W0 window layout
-    wordsC, A, sizes, ok = pe8.encode_words_packed(cp, cont=cont)
+    # ONE fused kernel does DCT+quantize+Huffman-encode: the coefficient
+    # pairs live only in VMEM (the unfused hop moved 36 MB/4K frame
+    # through HBM), pad lane columns encode as ignorable valid chunks,
+    # and A comes out already in the decoder's W0 window layout
+    wordsC, A, sizes, ok = pe8.dct_encode_words_packed(
+        xw, qtx, pids, cont=cont)
     return _compact_split(wordsC, A, sizes[:n], jnp.all(ok[:n]), capb8_pb)
 
 
@@ -498,30 +499,23 @@ def _expand_window8(content4, sizes_r, cw: int):
 
 def _decode_idct_packed(W0, Wc, qt_y, qt_u, qt_v, ny: int, nc: int,
                         b: int, h: int, w: int):
-    """Packed window words -> (y, u, v, ok[n]) with ZERO inter-kernel
-    relayouts: the Huffman decoder's [512, NTP] message-order output is
-    exactly the packed IDCT kernel's input layout (pallas_dct8), the
-    IDCT emits pixel QUAD WORDS ([128, NTP], 4 px/i32), and the only
-    relayout in the whole decompress is the final word->plane move at
-    information density. Requires ny, nc divisible by 8 (plane-pure
-    lane columns)."""
+    """Packed window words -> (y, u, v, ok[n]) via the FUSED Huffman
+    payload decode + dequantize + IDCT kernel (the message-order
+    coefficient canvas lives only in VMEM; the kernel emits pixel QUAD
+    WORDS [128, NTP], 4 px/i32), so the only relayout in the whole
+    decompress is the final word->plane move at information density.
+    Requires ny, nc divisible by 8 (plane-pure lane columns)."""
     from ..entropy import pallas_decode8 as pd8
     from ..kernels import pallas_dct8 as p8
     n = b * (ny + 2 * nc)
-    outp, ok = pd8.decode_words8_packed_split(W0, Wc)
-    ntp = outp.shape[1]
-    padc = (-ntp) % p8.TILE
-    if padc:
-        outp = jnp.concatenate(
-            [outp, jnp.zeros((512, padc), jnp.int32)], axis=1)
     qtx = p8.expand_qtables((qt_y, qt_u, qt_v))
     pat = np.concatenate([
         np.zeros(ny // 8, np.int32), np.ones(nc // 8, np.int32),
         np.full(nc // 8, 2, np.int32)])
     pids = jnp.asarray(np.concatenate(
         [np.tile(pat, b),
-         np.zeros(ntp + padc - n // 8, np.int32)])[None])
-    pixw = p8.dequantize_idct_words(outp, qtx, pids)     # [128, ntp]
+         np.zeros(W0.shape[1] - n // 8, np.int32)])[None])
+    pixw, ok = pd8.decode_idct_words8_split(W0, Wc, qtx, pids)
     nf8 = (ny + 2 * nc) // 8
     segs = {0: [], 1: [], 2: []}
     for f in range(b):

@@ -167,14 +167,14 @@ def _tree_kernel8(w0_ref, wc_ref, meta_ref, sym2_ref, counts_ref, bad_ref,
     bad_ref[...] = bad
 
 
-def _payload_kernel8(w0_ref, wc_ref, meta_ref, sym2_ref, counts_ref,
-                     tbad_ref, out_ref, ok_ref):
-    """Packed canonical payload decode, 3-step groups.
+def _payload_body(w0_ref, wc_ref, meta_ref, sym2_ref, counts_ref,
+                  tbad_ref, out_ref):
+    """Packed canonical payload decode, 3-step groups -> ok [8, TP].
 
-    out [528, TP]: rows 8p..8p+7 hold message symbol p (zigzag order;
-    the XLA side un-permutes). 22 groups of 3 steps cover the 64-symbol
-    format bound; the while loop exits at the first group with no live
-    lane."""
+    out_ref [528, TP] (an output ref or VMEM scratch): rows 8p..8p+7
+    hold message symbol p (zigzag order; consumers un-permute). 22
+    groups of 3 steps cover the 64-symbol format bound; the while loop
+    exits at the first group with no live lane."""
     R = jnp.concatenate([w0_ref[...], wc_ref[...]], axis=0)
     cw = (w0_ref.shape[0] + wc_ref.shape[0]) // 8
     enc_bits = meta_ref[0:8, :]
@@ -260,7 +260,28 @@ def _payload_kernel8(w0_ref, wc_ref, meta_ref, sym2_ref, counts_ref,
     bitpos, bad = jax.lax.cond(
         nmax_sym <= SMALL, lambda: run(SMALL // 2), lambda: run(32))
     bad = bad | (bitpos != enc_bits).astype(I32)
-    ok_ref[...] = (bad == 0).astype(I32)
+    return (bad == 0).astype(I32)
+
+
+def _payload_kernel8(w0_ref, wc_ref, meta_ref, sym2_ref, counts_ref,
+                     tbad_ref, out_ref, ok_ref):
+    """Payload decode to an HBM coefficient canvas (see _payload_body)."""
+    ok_ref[...] = _payload_body(w0_ref, wc_ref, meta_ref, sym2_ref,
+                                counts_ref, tbad_ref, out_ref)
+
+
+def _payload_idct_kernel8(w0_ref, wc_ref, meta_ref, sym2_ref, counts_ref,
+                          tbad_ref, qt_ref, pid_ref, pix_ref, ok_ref,
+                          oscr):
+    """Fused payload decode + dequantize + IDCT: the [528, TP]
+    message-order coefficient canvas lives only in VMEM scratch (the
+    unfused pipeline writes + reads it through HBM — 72 MB/4K frame),
+    and the kernel emits [128, TP] pixel quad words directly (reference
+    semantics: Huffman.cpp:105-154 + DCT.cpp:325-365)."""
+    from ..kernels.pallas_dct8 import _idct_words, _qt_select
+    ok_ref[...] = _payload_body(w0_ref, wc_ref, meta_ref, sym2_ref,
+                                counts_ref, tbad_ref, oscr)
+    pix_ref[...] = _idct_words(oscr[0:512, :], _qt_select(qt_ref, pid_ref))
 
 
 def pack8_rows(x: jnp.ndarray) -> jnp.ndarray:
@@ -327,6 +348,85 @@ def _decode8_raw(W0: jnp.ndarray, Wc: jnp.ndarray, interpret: bool,
         interpret=interpret,
     )(W0, Wc, meta, sym2, counts, tbad)
     return out, ok
+
+
+def _decode8_idct_raw(W0, Wc, qtx, pids, interpret: bool, tile: int,
+                      tile_pi: int = 512):
+    """Fused decode+IDCT driver -> (pixw [128, NTP] i32 pixel quad
+    words, ok [8, NTP] i32). Same window contract as _decode8_raw plus
+    expanded qtables [3*512, 1] and per-column plane ids [1, NP]
+    (padded internally). ``tile_pi`` sizes the fused payload+IDCT
+    kernel's tiles (512 measured 2.3x faster than 256 on the 4K golden
+    frame; Mosaic's liveness scheduling keeps the ~16 MB naive IDCT
+    intermediate footprint inside scoped VMEM)."""
+    np8 = W0.shape[1]
+    pad = (-np8) % tile
+    if pad:
+        fill0 = jnp.zeros((64, pad), I32).at[0:8, :].set(_FILLER_W0)
+        W0 = jnp.concatenate([W0, fill0], axis=1)
+        Wc = jnp.concatenate(
+            [Wc, jnp.zeros((Wc.shape[0], pad), I32)], axis=1)
+    ntp = W0.shape[1]
+    if pids.shape[1] < ntp:
+        pids = jnp.concatenate(
+            [pids, jnp.zeros((1, ntp - pids.shape[1]), I32)], axis=1)
+    from .pallas_decode import _shr_l as _shr
+    w0 = W0[0:8]
+    b0 = _bitrev8(_shr(w0, 24) & 0xFF)
+    b1 = _bitrev8(_shr(w0, 16) & 0xFF)
+    b2 = _bitrev8(_shr(w0, 8) & 0xFF)
+    meta = jnp.concatenate([b0 | (b1 << 8), b2], axis=0)     # [16, NTP]
+    wcr = Wc.shape[0]
+    sym2, counts, tbad = pl.pallas_call(
+        _tree_kernel8,
+        out_shape=(jax.ShapeDtypeStruct((256, ntp), I32),
+                   jax.ShapeDtypeStruct((72, ntp), I32),
+                   jax.ShapeDtypeStruct((8, ntp), I32)),
+        grid=(ntp // tile,),
+        in_specs=[pl.BlockSpec((64, tile), lambda i: (0, i)),
+                  pl.BlockSpec((wcr, tile), lambda i: (0, i)),
+                  pl.BlockSpec((16, tile), lambda i: (0, i))],
+        out_specs=(pl.BlockSpec((256, tile), lambda i: (0, i)),
+                   pl.BlockSpec((72, tile), lambda i: (0, i)),
+                   pl.BlockSpec((8, tile), lambda i: (0, i))),
+        scratch_shapes=[pltpu.VMEM((512, tile), I32)],
+        interpret=interpret,
+    )(W0, Wc, meta)
+    pixw, ok = pl.pallas_call(
+        _payload_idct_kernel8,
+        out_shape=(jax.ShapeDtypeStruct((128, ntp), I32),
+                   jax.ShapeDtypeStruct((8, ntp), I32)),
+        grid=(ntp // tile_pi,),
+        in_specs=[pl.BlockSpec((64, tile_pi), lambda i: (0, i)),
+                  pl.BlockSpec((wcr, tile_pi), lambda i: (0, i)),
+                  pl.BlockSpec((16, tile_pi), lambda i: (0, i)),
+                  pl.BlockSpec((256, tile_pi), lambda i: (0, i)),
+                  pl.BlockSpec((72, tile_pi), lambda i: (0, i)),
+                  pl.BlockSpec((8, tile_pi), lambda i: (0, i)),
+                  pl.BlockSpec((1536, 1), lambda i: (0, 0)),
+                  pl.BlockSpec((1, tile_pi), lambda i: (0, i))],
+        out_specs=(pl.BlockSpec((128, tile_pi), lambda i: (0, i)),
+                   pl.BlockSpec((8, tile_pi), lambda i: (0, i))),
+        scratch_shapes=[pltpu.VMEM((528, tile_pi), I32)],
+        interpret=interpret,
+    )(W0, Wc, meta, sym2, counts, tbad, qtx, pids)
+    return pixw, ok
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def decode_idct_words8_split(W0: jnp.ndarray, Wc: jnp.ndarray,
+                             qtx: jnp.ndarray, pids: jnp.ndarray,
+                             interpret: bool = False,
+                             tile: int | None = None):
+    """Two-region window + quantization inputs -> ([128, NTP] i32 pixel
+    quad words, [NP*8] ok): the fused frame-decompress entry (Huffman
+    payload decode, dequantize and IDCT in ONE kernel; the coefficient
+    canvas never exists in HBM)."""
+    tile = tile or TILE
+    n = W0.shape[1] * 8
+    pixw, ok = _decode8_idct_raw(W0, Wc, qtx, pids, interpret, tile)
+    ntp = pixw.shape[1]
+    return pixw, ok.T.reshape(ntp * 8)[:n] != 0
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile"))

@@ -122,13 +122,14 @@ def _bitonic8(key, ig):
     return key
 
 
-def _encode_kernel8(pair_ref, words_ref, a_ref, size_ref, ok_ref, scr_ref):
-    """pair [256, TP] i32 zigzag-ordered coefficient PAIRS packed-8 (rows
-    8p..8p+7 hold messages 2p | 2p+1 << 16 of the column's 8 blocks — the
-    dct_quantize_words output) -> words [TP, 8*cont] i32 (col cont*r + w
-    holds continuation word 8+w of sublane-block r; the XLA reshape to
-    block-major [TP*8, cont] is free), a [64, TP] i32 (rows 8w + r: the
-    packed decoder's W0 window layout, directly consumable), size [8, TP],
+def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref):
+    """Shared encoder body: ``pw`` [256, TP] i32 zigzag-ordered
+    coefficient PAIR VALUES packed-8 (rows 8p..8p+7 hold messages
+    2p | 2p+1 << 16 of the column's 8 blocks — the dct_quantize_words
+    layout) -> words [TP, 8*cont] i32 (col cont*r + w holds continuation
+    word 8+w of sublane-block r; the XLA reshape to block-major
+    [TP*8, cont] is free), a [64, TP] i32 (rows 8w + r: the packed
+    decoder's W0 window layout, directly consumable), size [8, TP],
     ok [8, TP].
 
     ``scr_ref`` is [2048, TP] VMEM scratch: row groups 0..63 hold the
@@ -137,8 +138,7 @@ def _encode_kernel8(pair_ref, words_ref, a_ref, size_ref, ok_ref, scr_ref):
     Sequential loops read them back through UNIFORM dynamic row slices
     (``ref[pl.ds(8*c, 8)]``) — O(1) vector work per step."""
     cont = words_ref.shape[1] // 8
-    tp = pair_ref.shape[1]
-    pw = pair_ref[...]
+    tp = pw.shape[1]
     lo = (pw << 16) >> 16                             # messages 2p
     hi = pw >> 16                                     # messages 2p+1
     i32g = jax.lax.broadcasted_iota(I32, (256, tp), 0) >> 3
@@ -421,6 +421,60 @@ def _encode_kernel8(pair_ref, words_ref, a_ref, size_ref, ok_ref, scr_ref):
     a_ref[...] = fA
     size_ref[...] = size
     ok_ref[...] = ok
+
+
+def _encode_kernel8(pair_ref, words_ref, a_ref, size_ref, ok_ref, scr_ref):
+    """Pair-input entry: see _encode_body."""
+    _encode_body(pair_ref[...], words_ref, a_ref, size_ref, ok_ref,
+                 scr_ref)
+
+
+def _dct_encode_kernel8(x_ref, qt_ref, pid_ref, words_ref, a_ref,
+                        size_ref, ok_ref, scr_ref):
+    """Fused transform + entropy encode: x [128, TP] i32 pixel quad
+    words (packed-8, 4 px/word) -> the encoder outputs, with the
+    [256, TP] coefficient-pair tensor living only in VMEM — the
+    unfused pipeline writes + reads it through HBM (36 MB/4K frame).
+    Same math as kernels/pallas_dct8._dct_quantize_kernel8p followed by
+    _encode_body (reference semantics: DCT.cpp:269-323 +
+    Huffman.cpp:172-241,279-326)."""
+    from ..kernels.pallas_dct8 import _dctq_pairs, _qt_select
+    qp = _qt_select(qt_ref, pid_ref)
+    _encode_body(_dctq_pairs(x_ref[...], qp), words_ref, a_ref,
+                 size_ref, ok_ref, scr_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("cont", "interpret", "tile"))
+def dct_encode_words_packed(xw: jnp.ndarray, qtx: jnp.ndarray,
+                            pids: jnp.ndarray, cont: int = 8,
+                            interpret: bool = False,
+                            tile: int | None = None):
+    """Fused DCT+quantize+Huffman-encode: [128, NP] i32 pixel quad words
+    (+ [3*512, 1] expanded qtables, [1, NP] plane ids) -> the
+    encode_words_packed outputs. NP must already be a tile multiple
+    (the compress path pads at pixel packing)."""
+    tp = tile or TP
+    ntp = xw.shape[1]
+    grid = (ntp // tp,)
+    wordsT, A, size8, ok8 = pl.pallas_call(
+        _dct_encode_kernel8,
+        out_shape=(jax.ShapeDtypeStruct((ntp, 8 * cont), I32),
+                   jax.ShapeDtypeStruct((64, ntp), I32),
+                   jax.ShapeDtypeStruct((8, ntp), I32),
+                   jax.ShapeDtypeStruct((8, ntp), I32)),
+        grid=grid,
+        in_specs=[pl.BlockSpec((128, tp), lambda i: (0, i)),
+                  pl.BlockSpec((1536, 1), lambda i: (0, 0)),
+                  pl.BlockSpec((1, tp), lambda i: (0, i))],
+        out_specs=(pl.BlockSpec((tp, 8 * cont), lambda i: (i, 0)),
+                   pl.BlockSpec((64, tp), lambda i: (0, i)),
+                   pl.BlockSpec((8, tp), lambda i: (0, i)),
+                   pl.BlockSpec((8, tp), lambda i: (0, i))),
+        scratch_shapes=[pltpu.VMEM((2048, tp), I32)],
+        interpret=interpret,
+    )(xw, qtx, pids)
+    return (wordsT.reshape(ntp * 8, cont), A,
+            size8.T.reshape(ntp * 8), ok8.T.reshape(ntp * 8) != 0)
 
 
 @functools.partial(jax.jit, static_argnames=("cont", "interpret", "tile"))

@@ -209,15 +209,18 @@ def dequantize_idct_packed(coef8: jnp.ndarray, qtx: jnp.ndarray,
 # with shifts: a few extra VPU ops for 2-4x less relayout traffic.
 
 
-def _dct_quantize_kernel8p(x_ref, qt_ref, pid_ref, out_ref):
-    """x [128, TP] i32 pixel quad words -> out [256, TP] i32 coefficient
-    pairs in message order (same math as _dct_quantize_kernel8)."""
-    qp = _qt_select(qt_ref, pid_ref).astype(F32)
+def _dctq_pairs(xw, qp_sel):
+    """Shared fused-transform body: xw [128, TP] i32 pixel quad words +
+    the block-selected qtable rows [512, TP] -> [256, TP] i32 quantized
+    coefficient pairs in message order (same scalar op sequence as
+    _dct_quantize_kernel8 — bit-exactness preserved). Also used by the
+    fused DCT+Huffman-encode kernel (entropy/pallas_encode8)."""
+    qp = qp_sel.astype(F32)
     z = qp[0, 0] * F32(0)
 
     xs = [None] * 64
     for k in range(16):
-        w = x_ref[8 * k:8 * k + 8, :]
+        w = xw[8 * k:8 * k + 8, :]
         for j in range(4):
             xs[4 * k + j] = ((w >> (8 * j)) & 0xFF).astype(F32) - F32(128)
     ts = [None] * 64
@@ -240,16 +243,25 @@ def _dct_quantize_kernel8p(x_ref, qt_ref, pid_ref, out_ref):
     q = kdev._exact_quantize(coef, qz).astype(I32)
     pairs = [(q[16 * p:16 * p + 8, :] & 0xFFFF)
              | (q[16 * p + 8:16 * p + 16, :] << 16) for p in range(32)]
-    out_ref[...] = jnp.concatenate(pairs, axis=0)
+    return jnp.concatenate(pairs, axis=0)
 
 
-def _dequantize_idct_kernel8p(co_ref, qt_ref, pid_ref, out_ref):
-    """co [512, TP] i32 message-order coeffs -> out [128, TP] i32 pixel
-    quad words (same math as _dequantize_idct_kernel8)."""
-    qp = _qt_select(qt_ref, pid_ref).astype(F32)
+def _dct_quantize_kernel8p(x_ref, qt_ref, pid_ref, out_ref):
+    """x [128, TP] i32 pixel quad words -> out [256, TP] i32 coefficient
+    pairs in message order (same math as _dct_quantize_kernel8)."""
+    out_ref[...] = _dctq_pairs(x_ref[...], _qt_select(qt_ref, pid_ref))
+
+
+def _idct_words(co, qp_sel):
+    """Shared fused-inverse body: co [512, TP] i32 message-order coeff
+    VALUES + block-selected qtable rows [512, TP] -> [128, TP] i32 pixel
+    quad words (same scalar op sequence as _dequantize_idct_kernel8 —
+    bit-exactness preserved). Also used by the fused Huffman-decode+IDCT
+    kernel (entropy/pallas_decode8)."""
+    qp = qp_sel.astype(F32)
     z = qp[0, 0] * F32(0)
 
-    xs = [co_ref[8 * int(_IZZ[e]):8 * int(_IZZ[e]) + 8, :]
+    xs = [co[8 * int(_IZZ[e]):8 * int(_IZZ[e]) + 8, :]
           .astype(F32) * qp[8 * e:8 * e + 8, :] for e in range(64)]
     ts = [None] * 64
     for i in range(8):
@@ -271,7 +283,13 @@ def _dequantize_idct_kernel8p(co_ref, qt_ref, pid_ref, out_ref):
              | (r[32 * k + 8:32 * k + 16, :] << 8)
              | (r[32 * k + 16:32 * k + 24, :] << 16)
              | (r[32 * k + 24:32 * k + 32, :] << 24) for k in range(16)]
-    out_ref[...] = jnp.concatenate(words, axis=0)
+    return jnp.concatenate(words, axis=0)
+
+
+def _dequantize_idct_kernel8p(co_ref, qt_ref, pid_ref, out_ref):
+    """co [512, TP] i32 message-order coeffs -> out [128, TP] i32 pixel
+    quad words (same math as _dequantize_idct_kernel8)."""
+    out_ref[...] = _idct_words(co_ref[...], _qt_select(qt_ref, pid_ref))
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))

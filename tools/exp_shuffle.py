@@ -15,12 +15,13 @@ Usage:  JAX_PLATFORMS=cpu python tools/exp_shuffle.py        # verify
 """
 
 import functools
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -84,6 +85,8 @@ def make_shuffle_kernel(perm, rows, lanes):
 def lane_shuffle(x, perm, rows=8, interpret=False):
     """[R, P] i32 -> [R, P] with each row's lanes bit-permuted."""
     r, p = x.shape
+    if r % rows:
+        raise ValueError(f"row count {r} must be a multiple of rows={rows}")
     kern = make_shuffle_kernel(perm, rows, p)
     return pl.pallas_call(
         kern,

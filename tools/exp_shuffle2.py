@@ -1,11 +1,12 @@
 """Sub-stage timing for the lane-shuffle pack experiment."""
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -30,20 +31,21 @@ def main():
     rng = np.random.default_rng(0)
     h, w = 3008, 4032
     wd = w // 4
+    p_lanes = 1 << (wd - 1).bit_length()  # pad width: next pow2 >= wd
     plane = jnp.asarray(rng.integers(0, 256, (h, w), np.uint8))
 
     bc = jax.jit(lambda p: jax.lax.bitcast_convert_type(
         p.reshape(h, wd, 4), jnp.int32))
     v = bc(plane)
-    pad = jax.jit(lambda v: jnp.pad(v, ((0, 0), (0, 1024 - wd))))
+    pad = jax.jit(lambda v: jnp.pad(v, ((0, 0), (0, p_lanes - wd))))
     vp = pad(v)
-    shuf = jax.jit(lambda x: lane_shuffle(x, pack_perm(10)))
+    shuf = jax.jit(lambda x: lane_shuffle(x, pack_perm(p_lanes.bit_length() - 1)))
     y = shuf(vp)
-    outer = jax.jit(lambda y: y.reshape(h // 8, 8, 2, 8, 64)
+    outer = jax.jit(lambda y: y.reshape(h // 8, 8, 2, 8, p_lanes // 16)
                     [:, :, :, :, :wd // 16]
                     .transpose(1, 2, 3, 0, 4).reshape(128, -1))
     # variant: slice after transpose
-    outer2 = jax.jit(lambda y: y.reshape(h // 8, 8, 2, 8, 64)
+    outer2 = jax.jit(lambda y: y.reshape(h // 8, 8, 2, 8, p_lanes // 16)
                      .transpose(1, 2, 3, 0, 4)[:, :, :, :, :wd // 16]
                      .reshape(8, 2, 8, -1)
                      .reshape(128, (h // 8) * (wd // 16)))

@@ -12,13 +12,19 @@ single-chip dev boxes and a PCIe/DCN hop in production):
 
 The ragged<->dense conversions are the device analogs of
 DCTYUVPlane::getContentPos (DCT.cpp:21-33). The frame/batch paths use
-the SPLIT-STREAM interchange: region A = every chunk's first 32 bytes
-(dense [8, N], no index work at all), region B = the continuation rows
-of chunks >32 B only, so the index-bound ragged gather/scatter touches
-a few percent of the blocks instead of all of them. The plane-level and
-sharded paths keep the aligned-row interchange (content4). Capacities
-are static; overflow is detected and callers retry roomier or fall back
-to the host path (engine.pipeline with native entropy).
+the DENSE TWO-REGION interchange (round 3): region A [64, ceil8(N)]
+holds every chunk's first 32 bytes and region C [cont*8, ceil8(N)] its
+continuation words, BOTH in the packed decoder's window layout (row
+8w + r = word w of block 8c + r) and both direct register-file outputs
+of the Pallas encoder — so compress has no compaction gather and
+decompress no scatter/window-expansion at all (each cost >1 ms/4K
+frame in round 2). The ragged<->dense index work survives only at the
+HOST boundary: ``_compact_split`` gathers the live continuation rows
+before a pull (the d2h tunnel must not carry the dense C), and
+expansion back to dense C happens in numpy before an upload. ``cont``
+(8 or 56 words) is the static emission tier: chunks beyond
+4*(8+cont) bytes flip ok and callers retry roomier or fall back to the
+host path (engine.pipeline with native entropy).
 """
 
 from __future__ import annotations
@@ -50,20 +56,24 @@ ALIGN_W = 8
 CAPR8_DEFAULT = 10              # 1.25 rows = 40 B/block average (q50+9%)
 CAPR8_ROOMY = 24                # 3 rows: the per-block-cap worst case
 
-# SPLIT-STREAM interchange (frame/batch paths): region A holds every
-# chunk's first 32 bytes ([64, ceil8(N)] in the packed decoder's W0
-# window layout, row 8w + r = word w of block 8c + r — a free second
-# output of the Pallas encoder's register file that the decode kernels
-# consume verbatim), region B only the continuation rows of chunks
-# >32 B (1.2% of blocks at q50), GLOBALLY STREAM-COMPACTED: live rows
-# back to back in block order, budgeted by a global average (no
-# per-segment padding — the round-1 segment scheme sized every map and
-# scatter by a 40x-overprovisioned capacity). The row->block map costs
-# one nseg-index scatter (segment-start marks -> cumsum) plus a 64-wide
+# DENSE TWO-REGION interchange (frame/batch paths): region A holds
+# every chunk's first 32 bytes and region C its continuation words,
+# both [*, ceil8(N)] in the packed decoder's window layout (row 8w + r
+# = word w of block 8c + r) — free register-file outputs of the Pallas
+# encoder that the decode kernels consume verbatim. ``cont`` is the
+# encoder's static continuation-word tier: 8 (64-byte chunks, covers
+# every stream up to roughly q85) or 56 (the 255-byte format maximum).
+CONT_DEFAULT = 8
+CONT_ROOMY = 56
+CONT_LADDER = (CONT_DEFAULT, CONT_ROOMY)
+
+# HOST-PULL compaction of region C (the d2h tunnel must not carry the
+# dense C): live continuation rows gathered back to back in block
+# order, budgeted by a global average in eighth-rows per block
+# (capacity rows = npad * capb8_pb / 8). The row->block map costs one
+# nseg-index scatter (segment-start marks -> cumsum) plus a 64-wide
 # in-segment searchsorted — no N-index scatter anywhere (an
 # ``.at[offs].max`` over all N blocks costs ~5 ms/4K frame).
-# ``capb8_pb`` budgets B in eighth-rows per block GLOBAL AVERAGE
-# (capacity rows = npad * capb8_pb / 8).
 SEG = 64                        # blocks per map segment
 CAPB8_DEFAULT = 1               # 4 B/block avg (golden q50 uses ~10%)
 CAPB8_MID = 8                   # 32 B/block avg (covers q90-class)
@@ -207,7 +217,7 @@ def _use_packed(precision: str, h: int, w: int) -> bool:
 
 
 def _compress_words_packed(y, u, v, qt_y, qt_u, qt_v, b: int, h: int,
-                           w: int, capb8_pb: int):
+                           w: int, cont: int):
     """Word-packed on-chip compress: pixel quad words -> packed DCT ->
     coefficient pairs -> pair-input Huffman encoder -> compaction.
 
@@ -243,40 +253,59 @@ def _compress_words_packed(y, u, v, qt_y, qt_u, qt_v, b: int, h: int,
         np.full(nc // 8, 2, np.int32)])
     pids = jnp.asarray(np.concatenate(
         [np.tile(pat, b), np.zeros(padc, np.int32)])[None])
-    cont = 8 if capb8_pb == CAPB8_DEFAULT else 56
     # ONE fused kernel does DCT+quantize+Huffman-encode: the coefficient
     # pairs live only in VMEM (the unfused hop moved 36 MB/4K frame
     # through HBM), pad lane columns encode as ignorable valid chunks,
-    # and A comes out already in the decoder's W0 window layout
-    wordsC, A, sizes, ok = pe8.dct_encode_words_packed(
+    # and BOTH interchange regions come out already in the decoder's
+    # window layout — compress ends at the kernel.
+    C, A, sizes, ok = pe8.dct_encode_words_packed(
         xw, qtx, pids, cont=cont)
-    return _compact_split(wordsC, A, sizes[:n], jnp.all(ok[:n]), capb8_pb)
+    sizes = sizes[:n]
+    return A, C, sizes, jnp.sum(sizes), jnp.all(ok[:n])
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "capb8_pb"))
+def _dense_from_words(words, aT, sizes, ok, cont: int):
+    """Fallback-route dense interchange: (words [N, 64] i32 block-major,
+    aT [8, N]) -> (A [64, ceil8(N)], C [cont*8, ceil8(N)], sizes, total,
+    ok) — the same contract the packed encoder emits directly."""
+    from ..kernels.pallas_dct8 import pack_rows8
+
+    n = sizes.shape[0]
+    contentA = _a_to_packed(aT)
+    cwords = words[:, 8:8 + cont]
+    pad = (-n) % 8
+    if pad:
+        cwords = jnp.concatenate(
+            [cwords, jnp.zeros((pad, cont), jnp.int32)], axis=0)
+    C = pack_rows8(cwords)
+    sizes = sizes.astype(jnp.int32)
+    ok = ok & jnp.all(sizes <= 4 * (8 + cont))
+    return contentA, C, sizes, jnp.sum(sizes), ok
+
+
+@functools.partial(jax.jit, static_argnames=("precision", "cont"))
 def compress_frame(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                    qt_y: jnp.ndarray, qt_u: jnp.ndarray, qt_v: jnp.ndarray,
                    precision: str = "exact",
-                   capb8_pb: int = CAPB8_DEFAULT):
-    """Full-frame on-chip compress -> (contentA, contentB, sizes, total,
-    ok): the SPLIT-STREAM device interchange.
+                   cont: int = CONT_DEFAULT):
+    """Full-frame on-chip compress -> (contentA, contentC, sizes, total,
+    ok): the DENSE two-region device interchange.
 
-    ``contentA`` [64, ceil8(N)] i32 holds every chunk's first 32 bytes in
-    the packed decoder's W0 window layout (bytes bit-reversed, packed
-    big-endian — the entropy kernels' native stream space); it is a
-    direct output of the Pallas encoder's register file, so producing it
-    costs nothing and decompress consumes it with zero index work.
-    ``contentB`` [capb*8] i32 holds
-    only the continuation rows of chunks >32 B, stream-compacted — the
-    one index-bound gather left in the compress path touches ~capb rows
-    instead of ~N (1.2% of q50 blocks have a second row). ``total`` is
-    the exact byte total; the on-disk stream is one linear host pass away
+    ``contentA`` [64, ceil8(N)] i32 holds every chunk's first 32 bytes
+    and ``contentC`` [cont*8, ceil8(N)] its continuation words, both in
+    the packed decoder's window layout (bytes bit-reversed, packed
+    big-endian — the entropy kernels' native stream space) and both
+    direct outputs of the Pallas encoder's register file: compress does
+    no index work after the kernel and decompress consumes the pair
+    verbatim. Chunks larger than 4*(8+cont) bytes flip ok (callers
+    retry with cont=CONT_ROOMY). ``total`` is the exact byte total; the
+    on-disk stream is one compaction gather + linear host pass away
     (native.repack_split). Blocks ordered Y, U, V.
     """
     h, w = y.shape
     if _use_packed(precision, h, w):
         return _compress_words_packed(y, u, v, qt_y, qt_u, qt_v,
-                                      1, h, w, capb8_pb)
+                                      1, h, w, cont)
     by = kdev.plane_to_blocks(y)
     bu = kdev.plane_to_blocks(u)
     bv = kdev.plane_to_blocks(v)
@@ -286,7 +315,7 @@ def compress_frame(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
         _fwd_transform(bu.reshape(nc, 64), qt_u, precision),
         _fwd_transform(bv.reshape(nc, 64), qt_v, precision)])
     words, aT, sizes, ok = _encode_words_dispatch(coeffs)
-    return _compact_split(words[:, 8:], aT, sizes, jnp.all(ok), capb8_pb)
+    return _dense_from_words(words, aT, sizes, jnp.all(ok), cont)
 
 
 def _chunk_rows(sizes):
@@ -375,51 +404,6 @@ def _compact_split(wordsC, A, sizes, ok, capb8_pb: int = CAPB8_DEFAULT):
     rows = wordsC.reshape(-1, ALIGN_W)
     B = rows[jnp.clip(gsrc, 0, rows.shape[0] - 1)]
     return (contentA, B.reshape(-1), sizes, total, ok & (totb <= capb))
-
-
-def _expand_split(contentA, contentB, sizes_r, cw: int):
-    """Split interchange -> packed-8 decode windows [cw*8, nseg*8].
-
-    Window rows 0..7 of every block ARE region A verbatim (contentA is
-    stored in the decoder's W0 layout — zero index work, zero relayout);
-    rows cw/8.. come from a ~capb-row scatter of region B
-    into a zero canvas (rows past a chunk's extent stay zero — the
-    decoders consume exactly enc_bits+tree bits, so they never read
-    them). Live rows scatter to strictly increasing block-major targets
-    (stream order IS target order); dead capacity rows get monotone
-    out-of-range indices and drop — the sorted/unique hints stay honest
-    with no sink rows in the canvas. Blocks whose chunk exceeds cw
-    bytes flip the caller's ok (their clamped targets may collide, and
-    the whole output is discarded)."""
-    from ..entropy.pallas_decode import _FILLER_W0
-
-    cwr = cw // ALIGN_W
-    # same A-width-derived geometry as _compact_split, so contentA and
-    # contentB line up without any copy
-    npad = -(-contentA.shape[1] * 8 // SEG) * SEG
-    capb = contentB.shape[0] // ALIGN_W
-    B = contentB.reshape(capb, ALIGN_W)
-    src_block, r0, totb = _b_maps(sizes_r, npad, capb)
-    canvas = npad * (cwr - 1)
-    p = jnp.arange(capb, dtype=jnp.int32)
-    tgt = jnp.where(p < totb,
-                    jnp.clip(src_block, 0, npad - 1) * (cwr - 1)
-                    + jnp.clip(r0, 0, cwr - 2),
-                    canvas + p)
-    Wc = jnp.zeros((canvas, ALIGN_W), jnp.int32).at[tgt].set(
-        B, mode="drop", indices_are_sorted=True, unique_indices=True)
-    n8 = npad // 8
-    # contentA is already the decoder's W0 layout ([64, ceil8(n)]);
-    # pad the lane columns up to the SEG-padded block count if the A
-    # region came from the host/flat converters
-    W0 = contentA
-    if W0.shape[1] < n8:
-        fill = jnp.zeros((64, n8 - W0.shape[1]), jnp.int32
-                         ).at[0:8].set(_FILLER_W0)
-        W0 = jnp.concatenate([W0, fill], axis=1)
-    Wcp = Wc.reshape(n8, 8, cwr - 1, ALIGN_W).transpose(
-        2, 3, 1, 0).reshape((cwr - 1) * 64, n8)
-    return W0, Wcp    # joined in VMEM by the decoder kernels
 
 
 def _compact_words(words, sizes, ok, capr8_pb: int = CAPR8_DEFAULT):
@@ -562,24 +546,26 @@ def _decode_words8_dispatch(W0, Wc, n: int):
     return coeffs[:n], ok[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "cw", "precision"))
-def decompress_frame(contentA: jnp.ndarray, contentB: jnp.ndarray,
+@functools.partial(jax.jit, static_argnames=("h", "w", "precision"))
+def decompress_frame(contentA: jnp.ndarray, contentC: jnp.ndarray,
                      sizes: jnp.ndarray,
                      qt_y: jnp.ndarray, qt_u: jnp.ndarray,
-                     qt_v: jnp.ndarray, h: int, w: int, cw: int = 16,
+                     qt_v: jnp.ndarray, h: int, w: int,
                      precision: str = "exact"):
-    """Full-frame on-chip decompress of the split-stream interchange ->
-    (y, u, v, ok).
+    """Full-frame on-chip decompress of the dense two-region interchange
+    -> (y, u, v, ok).
 
-    ``cw`` is the static per-block word capacity for the decoder's window
-    tensor: 16 (64-byte chunks) covers every stream up to roughly q85; the
-    caller picks 64 for larger chunks. Oversized chunks flip ok False.
+    (contentA, contentC) ARE the decode kernels' (W0, Wc) window regions
+    — no expansion stage at all. The window capacity cw = 8 +
+    contentC rows / 8 words per block; chunks beyond it flip ok False
+    (the encoder already flagged them at compress time).
     """
     ny = (h // 8) * (w // 8)
     nc = (h // 16) * (w // 16)
     sizes = sizes.astype(jnp.int32)
     sizes_r = _chunk_rows(sizes)
-    W0, Wc = _expand_split(contentA, contentB, sizes_r, cw)
+    cw = 8 + contentC.shape[0] // 8
+    W0, Wc = contentA, contentC
     if (precision == "exact" and ny % 8 == 0 and nc % 8 == 0
             and jax.default_backend() not in ("cpu",)):
         y, u, v, ok = _decode_idct_packed(
@@ -609,18 +595,18 @@ def decompress_frame(contentA: jnp.ndarray, contentB: jnp.ndarray,
 # files with plain slicing.
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "capb8_pb"))
+@functools.partial(jax.jit, static_argnames=("precision", "cont"))
 def compress_batch(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                    qt_y: jnp.ndarray, qt_u: jnp.ndarray, qt_v: jnp.ndarray,
                    precision: str = "exact",
-                   capb8_pb: int = CAPB8_DEFAULT):
-    """[B, H, W] (+2x [B, H/2, W/2]) u8 -> (contentA, contentB, sizes
+                   cont: int = CONT_DEFAULT):
+    """[B, H, W] (+2x [B, H/2, W/2]) u8 -> (contentA, contentC, sizes
     [B*Nf], total bytes, ok) — the whole batch compressed on-chip in one
-    executable (split-stream interchange)."""
+    executable (dense two-region interchange)."""
     b, h, w = y.shape
     if _use_packed(precision, h, w):
         return _compress_words_packed(y, u, v, qt_y, qt_u, qt_v,
-                                      b, h, w, capb8_pb)
+                                      b, h, w, cont)
     by = kdev.plane_to_blocks(y)                 # [B, ny, 8, 8]
     bu = kdev.plane_to_blocks(u)
     bv = kdev.plane_to_blocks(v)
@@ -634,22 +620,23 @@ def compress_batch(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                               cv.reshape(b, nc, 64)],
                              axis=1).reshape(-1, 64)
     words, aT, sizes, ok = _encode_words_dispatch(coeffs)
-    return _compact_split(words[:, 8:], aT, sizes, jnp.all(ok), capb8_pb)
+    return _dense_from_words(words, aT, sizes, jnp.all(ok), cont)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("b", "h", "w", "cw", "precision"))
-def decompress_batch(contentA: jnp.ndarray, contentB: jnp.ndarray,
+                   static_argnames=("b", "h", "w", "precision"))
+def decompress_batch(contentA: jnp.ndarray, contentC: jnp.ndarray,
                      sizes: jnp.ndarray,
                      qt_y: jnp.ndarray, qt_u: jnp.ndarray,
                      qt_v: jnp.ndarray, b: int, h: int, w: int,
-                     cw: int = 16, precision: str = "exact"):
-    """Batch split interchange -> ([B, H, W], 2x [B, H/2, W/2], ok)."""
+                     precision: str = "exact"):
+    """Batch dense interchange -> ([B, H, W], 2x [B, H/2, W/2], ok)."""
     ny = (h // 8) * (w // 8)
     nc = (h // 16) * (w // 16)
     sizes = sizes.astype(jnp.int32)
     sizes_r = _chunk_rows(sizes)
-    W0, Wc = _expand_split(contentA, contentB, sizes_r, cw)
+    cw = 8 + contentC.shape[0] // 8
+    W0, Wc = contentA, contentC
     if (precision == "exact" and ny % 8 == 0 and nc % 8 == 0
             and jax.default_backend() not in ("cpu",)):
         y, u, v, ok = _decode_idct_packed(
@@ -695,27 +682,63 @@ def batch_streams_split(sizes_np: np.ndarray, packed: np.ndarray,
     return frames
 
 
+@functools.partial(jax.jit, static_argnames=("capb8_pb",))
+def _compact_c(contentA, contentC, sizes, capb8_pb: int):
+    """Gather region C's live continuation rows before a host pull ->
+    contentB [capb*8] i32 (the compacted artifact-side B region, what
+    native.repack_split consumes). Runs only on the host-facing stream
+    APIs — the pure device roundtrip never compacts."""
+    cont = contentC.shape[0] // 8
+    ntp = contentC.shape[1]
+    c_bm = contentC.reshape(cont, 8, ntp).transpose(2, 1, 0).reshape(
+        ntp * 8, cont)
+    _, cB, _, _, _ok = _compact_split(c_bm, contentA, sizes,
+                                      jnp.bool_(True), capb8_pb)
+    return cB
+
+
+def _capb_tier(sizes_np: np.ndarray, ntp: int) -> int:
+    """Smallest pull-compaction tier covering the stream's live
+    continuation rows — picked from HOST-VISIBLE stats, so the pull
+    never ladder-walks (cannot fail for format-legal <=255 B chunks)."""
+    sizes_r = (sizes_np.astype(np.int64) + 4 * ALIGN_W - 1) \
+        // (4 * ALIGN_W)
+    totb = int(np.maximum(sizes_r - 1, 0).sum())
+    npad = -(-ntp * 8 // SEG) * SEG
+    for t in CAPB8_LADDER:
+        if totb <= capb_total(npad, t):
+            return t
+    raise BitstreamError("stream larger than device capacity")
+
+
+def _pull_packed_stream(cA, cC, sizes, sizes_np: np.ndarray) -> np.ndarray:
+    """(device interchange, host sizes) -> exact packed byte stream."""
+    from .. import native
+    tier = _capb_tier(sizes_np, cA.shape[1])
+    cB = _compact_c(cA, cC, sizes, tier)
+    aT_np, b_np = pull_split(cA, cB)
+    return native.repack_split(aT_np, b_np, sizes_np)
+
+
 def compress_batch_to_streams(planes_np, qtables_np,
                               precision: str = "exact"):
     """Host API: batched planes -> per-frame stream lists (file layout)."""
-    from .. import native
     y, u, v = [np.ascontiguousarray(p) for p in planes_np]
     b, h, w = y.shape
     ny = (h // 8) * (w // 8)
     nc = (h // 16) * (w // 16)
-    cA = cB = sizes = None
-    for capb8_pb in CAPB8_LADDER:
-        cA, cB, sizes, total, ok = compress_batch(
+    cA = cC = sizes = None
+    for cont in CONT_LADDER:
+        cA, cC, sizes, total, ok = compress_batch(
             jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
             *[jnp.asarray(q) for q in qtables_np], precision=precision,
-            capb8_pb=capb8_pb)
+            cont=cont)
         if bool(ok):
             break
     else:
         raise BitstreamError("device compress overflow/failure")
     sizes_np = np.asarray(sizes).astype(np.int32)
-    aT_np, b_np = pull_split(cA, cB)
-    packed = native.repack_split(aT_np, b_np, sizes_np)
+    packed = _pull_packed_stream(cA, cC, sizes, sizes_np)
     return batch_streams_split(sizes_np, packed, b, ny, nc)
 
 
@@ -812,30 +835,33 @@ def _split_planes(sizes_np, packed, ny, nc):
 
 
 def compress_frame_to_streams(planes_np, qtables_np,
-                              precision: str = "exact"):
+                              precision: str = "exact",
+                              cont0: int | None = None):
     """Host API: (y, u, v) planes -> [(sizes u8, content u8)] per plane.
 
-    Pulls the split-stream interchange (region A + live B rows) and
-    repacks to the exact on-disk layout in one native pass.
-    """
-    from .. import native
+    Compacts region C's live continuation rows on device, pulls
+    (A + live B rows) and repacks to the exact on-disk layout in one
+    native pass. ``cont0`` pre-picks the emission tier (callers that
+    know the quality pass CONT_ROOMY for q >= ~85, skipping the retry
+    compile entirely — VERDICT r2 #7)."""
     h, w = planes_np[0].shape
     ny = (h // 8) * (w // 8)
     nc = (h // 16) * (w // 16)
-    cA = cB = sizes = None
-    for capb8_pb in CAPB8_LADDER:
-        cA, cB, sizes, total, ok = compress_frame(
+    ladder = CONT_LADDER if cont0 is None else tuple(
+        t for t in CONT_LADDER if t >= cont0)
+    cA = cC = sizes = None
+    for cont in ladder:
+        cA, cC, sizes, total, ok = compress_frame(
             jnp.asarray(planes_np[0]), jnp.asarray(planes_np[1]),
             jnp.asarray(planes_np[2]),
             *[jnp.asarray(q) for q in qtables_np],
-            precision=precision, capb8_pb=capb8_pb)
+            precision=precision, cont=cont)
         if bool(ok):
             break
     else:
         raise BitstreamError("device compress overflow/failure")
     sizes_np = np.asarray(sizes).astype(np.int32)
-    aT_np, b_np = pull_split(cA, cB)
-    packed = native.repack_split(aT_np, b_np, sizes_np)
+    packed = _pull_packed_stream(cA, cC, sizes, sizes_np)
     return _split_planes(sizes_np, packed, ny, nc)
 
 
@@ -851,18 +877,30 @@ def _pad_interchange(words_np: np.ndarray, n: int) -> np.ndarray:
     raise BitstreamError("stream larger than device capacity")
 
 
-def _capb_needed(sizes_np: np.ndarray) -> int:
-    """Smallest static B capacity tier (in 32-byte rows) covering the
-    stream's live continuation rows; raises when even the roomy tier is
-    exceeded (cannot happen for format-legal <=255 B chunks)."""
+def _dense_c_np(b_np: np.ndarray, sizes_np: np.ndarray,
+                cont: int) -> np.ndarray:
+    """Compacted live continuation rows -> dense region C
+    [cont*8, ceil8(N)] (the decoder's Wc window layout) in numpy — the
+    upload direction of the host boundary (h2d is the fast tunnel
+    direction, so expansion happens before the transfer)."""
+    n = sizes_np.size
+    n8 = (n + 7) // 8
     sizes_r = (sizes_np.astype(np.int64) + 4 * ALIGN_W - 1) \
         // (4 * ALIGN_W)
-    totb = int(np.maximum(sizes_r - 1, 0).sum())
-    npad = -(-sizes_np.size * 8 // (8 * SEG)) * SEG
-    for capb8_pb in CAPB8_LADDER:
-        if totb <= capb_total(npad, capb8_pb):
-            return capb_total(npad, capb8_pb)
-    raise BitstreamError("stream larger than device capacity")
+    nbr = np.maximum(sizes_r - 1, 0)
+    totb = int(nbr.sum())
+    c_bm = np.zeros((n8 * 8, cont), np.int32)
+    if totb:
+        rows = np.ascontiguousarray(b_np).reshape(-1, ALIGN_W)[:totb]
+        src = np.repeat(np.arange(n), nbr)
+        boffs = np.cumsum(nbr) - nbr
+        r0 = (np.arange(totb) - boffs[src]).astype(np.int64)
+        for j in range(int(r0.max()) + 1):
+            m = r0 == j
+            c_bm[src[m], ALIGN_W * j:ALIGN_W * (j + 1)] = rows[m]
+    return np.ascontiguousarray(
+        c_bm.T.reshape(cont, n8, 8).transpose(0, 2, 1).reshape(
+            cont * 8, n8))
 
 
 def decompress_streams_to_frame(streams, qtables_np, h: int, w: int,
@@ -871,13 +909,13 @@ def decompress_streams_to_frame(streams, qtables_np, h: int, w: int,
     from .. import native
     sizes_np = np.concatenate([s.astype(np.int32) for s, _ in streams])
     content_np = np.concatenate([c for _, c in streams])
-    capb = _capb_needed(sizes_np)
-    aT_np, b_np = native.expand_split(content_np, sizes_np, capb)
-    cw = 16 if int(sizes_np.max(initial=0)) <= 64 else 64
+    cont = CONT_DEFAULT if int(sizes_np.max(initial=0)) \
+        <= 4 * (8 + CONT_DEFAULT) else CONT_ROOMY
+    aT_np, b_np = native.expand_split(content_np, sizes_np)
+    c_np = _dense_c_np(b_np, sizes_np, cont)
     y, u, v, ok = decompress_frame(
-        jnp.asarray(aT_np), jnp.asarray(b_np.reshape(-1)),
-        jnp.asarray(sizes_np),
-        *[jnp.asarray(q) for q in qtables_np], h=h, w=w, cw=cw,
+        jnp.asarray(aT_np), jnp.asarray(c_np), jnp.asarray(sizes_np),
+        *[jnp.asarray(q) for q in qtables_np], h=h, w=w,
         precision=precision)
     if not bool(ok):
         raise BitstreamError("Huffman bad code (device decode)")

@@ -58,11 +58,16 @@ def compress_dct(img: yuv.YUVImage, params: bytes,
         # back to the host entropy stage instead of failing.
         from . import device_stream
         try:
+            # quality picks the emission tier up front: q >= 85 streams
+            # carry >64 B chunks, so starting at the roomy tier skips the
+            # default-tier attempt (and its compile) entirely
+            cont0 = (device_stream.CONT_ROOMY
+                     if int(qualities.max()) >= 85 else None)
             streams = [
                 dct_stream.DCTPlaneStream(
                     sizes, np.frombuffer(content.tobytes(), np.uint8))
                 for sizes, content in device_stream.compress_frame_to_streams(
-                    planes, qtables, precision=precision)]
+                    planes, qtables, precision=precision, cont0=cont0)]
         except BitstreamError:
             return compress_dct(img, params, precision=precision,
                                 entropy_backend=None)

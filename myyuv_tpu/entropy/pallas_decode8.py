@@ -89,20 +89,21 @@ def _read_group(R, cw, widx):
     return V
 
 
-def _tree_kernel8(w0_ref, wc_ref, meta_ref, sym2_ref, counts_ref, bad_ref,
+def _tree_kernel8(w0_ref, wc_ref, sym2_ref, counts_ref, bad_ref,
                   rec_ref):
     """Packed flat tree parse.
 
     w0 [64, TP] + wc [(CW-8)*8, TP] packed stream words (the split-stream
     interchange's two window regions — concatenated IN VMEM so the XLA
-    side never materializes the joined window), meta rows 8..15 =
-    tree_size -> sym2 [256, TP] (paired 11-bit symbol values: rows
-    8p..8p+7 hold symbols 2p | 2p+1 << 16), counts [72, TP] (9 groups of
-    per-length symbol counts), bad [8, TP]. rec is VMEM scratch for the
-    unpaired symbol rows."""
+    side never materializes the joined window) -> sym2 [256, TP] (paired
+    11-bit symbol values: rows 8p..8p+7 hold symbols 2p | 2p+1 << 16),
+    counts [72, TP] (9 groups of per-length symbol counts), bad [8, TP].
+    rec is VMEM scratch for the unpaired symbol rows. The 3 header bytes
+    (enc_bits, tree_size) decode from word 0 IN the kernel — no XLA-side
+    meta slices."""
     R = jnp.concatenate([w0_ref[...], wc_ref[...]], axis=0)
     cw = (w0_ref.shape[0] + wc_ref.shape[0]) // 8
-    tree_size = meta_ref[8:16, :]
+    tree_size = _bitrev8(_shr_l(R[0:8], 8) & 0xFF)
     tree_bits = tree_size * 8
 
     # window starts after the 3 header bytes; valid = 40 >= 27 invariant
@@ -167,18 +168,21 @@ def _tree_kernel8(w0_ref, wc_ref, meta_ref, sym2_ref, counts_ref, bad_ref,
     bad_ref[...] = bad
 
 
-def _payload_body(w0_ref, wc_ref, meta_ref, sym2_ref, counts_ref,
+def _payload_body(w0_ref, wc_ref, sym2_ref, counts_ref,
                   tbad_ref, out_ref):
     """Packed canonical payload decode, 3-step groups -> ok [8, TP].
 
     out_ref [528, TP] (an output ref or VMEM scratch): rows 8p..8p+7
     hold message symbol p (zigzag order; consumers un-permute). 22
     groups of 3 steps cover the 64-symbol format bound; the while loop
-    exits at the first group with no live lane."""
+    exits at the first group with no live lane. The 3 header bytes
+    decode from word 0 in-kernel."""
     R = jnp.concatenate([w0_ref[...], wc_ref[...]], axis=0)
     cw = (w0_ref.shape[0] + wc_ref.shape[0]) // 8
-    enc_bits = meta_ref[0:8, :]
-    tree_size = meta_ref[8:16, :]
+    w0r = R[0:8]
+    enc_bits = _bitrev8(_shr_l(w0r, 24) & 0xFF) \
+        | (_bitrev8(_shr_l(w0r, 16) & 0xFF) << 8)
+    tree_size = _bitrev8(_shr_l(w0r, 8) & 0xFF)
     counts = [counts_ref[8 * l:8 * l + 8, :] for l in range(9)]
 
     zero = jnp.zeros_like(enc_bits)
@@ -263,14 +267,14 @@ def _payload_body(w0_ref, wc_ref, meta_ref, sym2_ref, counts_ref,
     return (bad == 0).astype(I32)
 
 
-def _payload_kernel8(w0_ref, wc_ref, meta_ref, sym2_ref, counts_ref,
+def _payload_kernel8(w0_ref, wc_ref, sym2_ref, counts_ref,
                      tbad_ref, out_ref, ok_ref):
     """Payload decode to an HBM coefficient canvas (see _payload_body)."""
-    ok_ref[...] = _payload_body(w0_ref, wc_ref, meta_ref, sym2_ref,
+    ok_ref[...] = _payload_body(w0_ref, wc_ref, sym2_ref,
                                 counts_ref, tbad_ref, out_ref)
 
 
-def _payload_idct_kernel8(w0_ref, wc_ref, meta_ref, sym2_ref, counts_ref,
+def _payload_idct_kernel8(w0_ref, wc_ref, sym2_ref, counts_ref,
                           tbad_ref, qt_ref, pid_ref, pix_ref, ok_ref,
                           oscr):
     """Fused payload decode + dequantize + IDCT: the [528, TP]
@@ -279,7 +283,7 @@ def _payload_idct_kernel8(w0_ref, wc_ref, meta_ref, sym2_ref, counts_ref,
     and the kernel emits [128, TP] pixel quad words directly (reference
     semantics: Huffman.cpp:105-154 + DCT.cpp:325-365)."""
     from ..kernels.pallas_dct8 import _idct_words, _qt_select
-    ok_ref[...] = _payload_body(w0_ref, wc_ref, meta_ref, sym2_ref,
+    ok_ref[...] = _payload_body(w0_ref, wc_ref, sym2_ref,
                                 counts_ref, tbad_ref, oscr)
     pix_ref[...] = _idct_words(oscr[0:512, :], _qt_select(qt_ref, pid_ref))
 
@@ -309,12 +313,6 @@ def _decode8_raw(W0: jnp.ndarray, Wc: jnp.ndarray, interpret: bool,
         Wc = jnp.concatenate(
             [Wc, jnp.zeros((Wc.shape[0], pad), I32)], axis=1)
     ntp = W0.shape[1]
-    # header bytes ride bit-reversed in word 0 of every block
-    w0 = W0[0:8]
-    b0 = _bitrev8(_shr_l(w0, 24) & 0xFF)
-    b1 = _bitrev8(_shr_l(w0, 16) & 0xFF)
-    b2 = _bitrev8(_shr_l(w0, 8) & 0xFF)
-    meta = jnp.concatenate([b0 | (b1 << 8), b2], axis=0)     # [16, NTP]
     grid = (ntp // tile,)
     wcr = Wc.shape[0]
     sym2, counts, tbad = pl.pallas_call(
@@ -324,14 +322,13 @@ def _decode8_raw(W0: jnp.ndarray, Wc: jnp.ndarray, interpret: bool,
                    jax.ShapeDtypeStruct((8, ntp), I32)),
         grid=grid,
         in_specs=[pl.BlockSpec((64, tile), lambda i: (0, i)),
-                  pl.BlockSpec((wcr, tile), lambda i: (0, i)),
-                  pl.BlockSpec((16, tile), lambda i: (0, i))],
+                  pl.BlockSpec((wcr, tile), lambda i: (0, i))],
         out_specs=(pl.BlockSpec((256, tile), lambda i: (0, i)),
                    pl.BlockSpec((72, tile), lambda i: (0, i)),
                    pl.BlockSpec((8, tile), lambda i: (0, i))),
         scratch_shapes=[pltpu.VMEM((512, tile), I32)],
         interpret=interpret,
-    )(W0, Wc, meta)
+    )(W0, Wc)
     out, ok = pl.pallas_call(
         _payload_kernel8,
         out_shape=(jax.ShapeDtypeStruct((528, ntp), I32),
@@ -339,14 +336,13 @@ def _decode8_raw(W0: jnp.ndarray, Wc: jnp.ndarray, interpret: bool,
         grid=grid,
         in_specs=[pl.BlockSpec((64, tile), lambda i: (0, i)),
                   pl.BlockSpec((wcr, tile), lambda i: (0, i)),
-                  pl.BlockSpec((16, tile), lambda i: (0, i)),
                   pl.BlockSpec((256, tile), lambda i: (0, i)),
                   pl.BlockSpec((72, tile), lambda i: (0, i)),
                   pl.BlockSpec((8, tile), lambda i: (0, i))],
         out_specs=(pl.BlockSpec((528, tile), lambda i: (0, i)),
                    pl.BlockSpec((8, tile), lambda i: (0, i))),
         interpret=interpret,
-    )(W0, Wc, meta, sym2, counts, tbad)
+    )(W0, Wc, sym2, counts, tbad)
     return out, ok
 
 
@@ -370,12 +366,6 @@ def _decode8_idct_raw(W0, Wc, qtx, pids, interpret: bool, tile: int,
     if pids.shape[1] < ntp:
         pids = jnp.concatenate(
             [pids, jnp.zeros((1, ntp - pids.shape[1]), I32)], axis=1)
-    from .pallas_decode import _shr_l as _shr
-    w0 = W0[0:8]
-    b0 = _bitrev8(_shr(w0, 24) & 0xFF)
-    b1 = _bitrev8(_shr(w0, 16) & 0xFF)
-    b2 = _bitrev8(_shr(w0, 8) & 0xFF)
-    meta = jnp.concatenate([b0 | (b1 << 8), b2], axis=0)     # [16, NTP]
     wcr = Wc.shape[0]
     sym2, counts, tbad = pl.pallas_call(
         _tree_kernel8,
@@ -384,14 +374,13 @@ def _decode8_idct_raw(W0, Wc, qtx, pids, interpret: bool, tile: int,
                    jax.ShapeDtypeStruct((8, ntp), I32)),
         grid=(ntp // tile,),
         in_specs=[pl.BlockSpec((64, tile), lambda i: (0, i)),
-                  pl.BlockSpec((wcr, tile), lambda i: (0, i)),
-                  pl.BlockSpec((16, tile), lambda i: (0, i))],
+                  pl.BlockSpec((wcr, tile), lambda i: (0, i))],
         out_specs=(pl.BlockSpec((256, tile), lambda i: (0, i)),
                    pl.BlockSpec((72, tile), lambda i: (0, i)),
                    pl.BlockSpec((8, tile), lambda i: (0, i))),
         scratch_shapes=[pltpu.VMEM((512, tile), I32)],
         interpret=interpret,
-    )(W0, Wc, meta)
+    )(W0, Wc)
     pixw, ok = pl.pallas_call(
         _payload_idct_kernel8,
         out_shape=(jax.ShapeDtypeStruct((128, ntp), I32),
@@ -399,7 +388,6 @@ def _decode8_idct_raw(W0, Wc, qtx, pids, interpret: bool, tile: int,
         grid=(ntp // tile_pi,),
         in_specs=[pl.BlockSpec((64, tile_pi), lambda i: (0, i)),
                   pl.BlockSpec((wcr, tile_pi), lambda i: (0, i)),
-                  pl.BlockSpec((16, tile_pi), lambda i: (0, i)),
                   pl.BlockSpec((256, tile_pi), lambda i: (0, i)),
                   pl.BlockSpec((72, tile_pi), lambda i: (0, i)),
                   pl.BlockSpec((8, tile_pi), lambda i: (0, i)),
@@ -409,7 +397,7 @@ def _decode8_idct_raw(W0, Wc, qtx, pids, interpret: bool, tile: int,
                    pl.BlockSpec((8, tile_pi), lambda i: (0, i))),
         scratch_shapes=[pltpu.VMEM((528, tile_pi), I32)],
         interpret=interpret,
-    )(W0, Wc, meta, sym2, counts, tbad, qtx, pids)
+    )(W0, Wc, sym2, counts, tbad, qtx, pids)
     return pixw, ok
 
 

@@ -17,10 +17,12 @@ c — the layout of kernels/pallas_dct8 and entropy/pallas_decode8), so:
 3. the A-region register file is emitted in rows 8w + r — exactly the
    packed decoder's W0 window layout, so the decompress side consumes it
    with zero index work;
-4. the continuation register file keeps rows in (block-sublane)-major
-   order cont*r + w: one in-VMEM 2D transpose emits [TP, 8*cont], and
-   the XLA reshape to block-major [N, cont] (what the split-stream B
-   compaction gathers from) is free — identical row-major linearization.
+4. the continuation register file uses the SAME rows-8w+r layout
+   (round 3): the [8*cont, NP] continuation tensor IS the decoder's Wc
+   window region verbatim, so the whole interchange is dense — no
+   compaction gather on compress, no scatter/window-expansion on
+   decompress (each measured >1 ms/4K frame). Block-major [N, cont]
+   views (host repack) relayout lazily via unpack-style reshapes.
 
 Row-shift identities carry over from the flat kernel with every shift
 scaled by 8 (group = 8 physical rows); per-block maxima/sums fold over
@@ -61,17 +63,10 @@ def _su8(x, j):
 
 def _tile_g(x, groups):
     """[8, TP] -> [groups*8, TP]: row 8g + r reads x[r] (cycle tiling;
-    groups is a power of two)."""
+    doubles then trims, so any group count works)."""
     while x.shape[0] < groups * 8:
         x = jnp.concatenate([x, x], axis=0)
-    return x
-
-
-def _rep_rows(x, k):
-    """[8, TP] -> [8k, TP]: row k*r + j reads x[r] (run repetition)."""
-    return jnp.concatenate(
-        [jnp.broadcast_to(x[r:r + 1], (k, x.shape[1])) for r in range(8)],
-        axis=0)
+    return x[:groups * 8]
 
 
 def _fold_max(x):
@@ -126,18 +121,17 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref):
     """Shared encoder body: ``pw`` [256, TP] i32 zigzag-ordered
     coefficient PAIR VALUES packed-8 (rows 8p..8p+7 hold messages
     2p | 2p+1 << 16 of the column's 8 blocks — the dct_quantize_words
-    layout) -> words [TP, 8*cont] i32 (col cont*r + w holds continuation
-    word 8+w of sublane-block r; the XLA reshape to block-major
-    [TP*8, cont] is free), a [64, TP] i32 (rows 8w + r: the packed
-    decoder's W0 window layout, directly consumable), size [8, TP],
-    ok [8, TP].
+    layout) -> words [8*cont, TP] i32 (row 8w + r holds continuation
+    word 8+w of sublane-block r — the decoder's Wc window region
+    verbatim), a [64, TP] i32 (rows 8w + r: the packed decoder's W0
+    window layout, directly consumable), size [8, TP], ok [8, TP].
 
     ``scr_ref`` is [2048, TP] VMEM scratch: row groups 0..63 hold the
     per-step record tables (canonical LUT, then tree records), groups
     64..127 the payload quads, groups 192..255 the interior node depths.
     Sequential loops read them back through UNIFORM dynamic row slices
     (``ref[pl.ds(8*c, 8)]``) — O(1) vector work per step."""
-    cont = words_ref.shape[1] // 8
+    cont = words_ref.shape[0] // 8
     tp = pw.shape[1]
     lo = (pw << 16) >> 16                             # messages 2p
     hi = pw >> 16                                     # messages 2p+1
@@ -201,14 +195,30 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref):
         in_rows = ig < n_symR
 
         leafkey = leafkey64[:R]
-        leafw = jnp.where(in_rows, leafkey >> 12, BIG)   # counts, sorted
         leafsym = jnp.where(in_rows, (leafkey & 4095) - 1024, 0)
 
         # ---- two-queue Huffman merge ------------------------------------
+        # Node weights are <= 64 (freq counts of a <=64-symbol message),
+        # so both queues pack 4 weights per word: the per-lane indexed
+        # head reads scan rows/4 one-hot groups instead of rows, and the
+        # interior writes are monotone single-writes so an OR-blend into
+        # the packed slot is exact.
+        rows4 = rows // 4
+        lw8 = jnp.where(in_rows, leafkey >> 12, 127)     # byte sentinel
+        pk4 = lw8 | (_su8(lw8, 1) << 8) | (_su8(lw8, 2) << 16) \
+            | (_su8(lw8, 3) << 24)
+        leafw4 = jnp.concatenate(
+            [pk4[32 * g:32 * g + 8] for g in range(rows4)], axis=0)
+        ig4 = jax.lax.broadcasted_iota(I32, (8 * rows4, tp), 0) >> 3
+
+        def qread(x4, idx):
+            return _shr_l(_grp_read(x4, idx >> 2, rows4),
+                          (idx & 3) << 3) & 0xFF
+
         def pick(state):
-            lh, ih, it, intw, active = state
-            lw = _grp_read(leafw, lh, rows)
-            iw = _grp_read(intw, ih, rows)
+            lh, ih, it, intw4, active = state
+            lw = qread(leafw4, lh)
+            iw = qread(intw4, ih)
             leaf_has = lh < n_sym
             int_has = ih < it
             take_leaf = leaf_has & (~int_has | (lw <= iw))
@@ -216,15 +226,15 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref):
             node = jnp.where(take_leaf, lh, 64 + ih)
             lh = lh + (take_leaf & active).astype(I32)
             ih = ih + (~take_leaf & active).astype(I32)
-            return (lh, ih, it, intw, active), w, node
+            return (lh, ih, it, intw4, active), w, node
 
         def merge_body(s, carry):
-            lh, ih, it, intw, parentL, parentI = carry
+            lh, ih, it, intw4, parentL, parentI = carry
             active = it < n_sym - 1
-            st = (lh, ih, it, intw, active)
+            st = (lh, ih, it, intw4, active)
             st, w1, node1 = pick(st)
             st, w2, node2 = pick(st)
-            lh, ih, it, intw, _ = st
+            lh, ih, it, intw4, _ = st
             new_id = 64 + it
             n1R = _tile_g(jnp.where(active, node1, 999), rows)
             n2R = _tile_g(jnp.where(active, node2, 999), rows)
@@ -233,16 +243,17 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref):
             parentL = jnp.where(ig == n2R, newR, parentL)
             parentI = jnp.where(ig == n1R - 64, newR, parentI)
             parentI = jnp.where(ig == n2R - 64, newR, parentI)
-            activeR = _tile_g(active, rows)
-            intw = jnp.where((ig == _tile_g(it, rows)) & activeR,
-                             _tile_g(w1 + w2, rows), intw)
+            wsh = _shl(_tile_g(jnp.where(active, w1 + w2, 0), rows4),
+                       _tile_g((it & 3) << 3, rows4))
+            intw4 = intw4 | jnp.where(ig4 == _tile_g(it >> 2, rows4),
+                                      wsh, 0)
             it = it + active.astype(I32)
-            return lh, ih, it, intw, parentL, parentI
+            return lh, ih, it, intw4, parentL, parentI
 
         zeroR = jnp.zeros((R, tp), I32)
-        lh, ih, it, intw, parentL, parentI = jax.lax.fori_loop(
+        lh, ih, it, intw4, parentL, parentI = jax.lax.fori_loop(
             0, nmax - 1, merge_body,
-            (z8, z8, z8, jnp.full((R, tp), BIG, I32), zeroR, zeroR))
+            (z8, z8, z8, jnp.zeros((8 * rows4, tp), I32), zeroR, zeroR))
 
         # ---- depth sweep: write-based top-down propagation --------------
         scr_ref[1536:1536 + R, :] = zeroR
@@ -277,27 +288,29 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref):
         code_c = (incl - kraft) >> (8 - lc)           # exclusive prefix
 
         # ---- per-message-position (len, code) lookup --------------------
-        canrec = (jnp.clip(len_c, 0, 8) << 19) | ((code_c & 0xFF) << 11) \
-            | (sym_c & 0x7FF)
+        # one packed record per canonical row: (len << 20 | code << 12)
+        # selects as a unit, and bit 11 of the key marks live rows so
+        # dead rows (len 0, sym 0) can never match a real 0 symbol —
+        # 2 compares + 2 selects per row instead of 4 + 4 (+ live mask)
+        canrec = (jnp.clip(len_c, 0, 15) << 20) | ((code_c & 0xFF) << 12) \
+            | (in_rows.astype(I32) << 11) | (sym_c & 0x7FF)
         scr_ref[0:R, :] = canrec
-        n_sym32 = _tile_g(n_sym, 32)
+        lo12 = lo11 | 0x800
+        hi12 = hi11 | 0x800
 
         def lut_body(c, carry):
-            pl_l, pc_l, pl_h, pc_h = carry
+            lc_l, lc_h = carry
             rec32 = _tile_g(scr_ref[pl.ds(8 * c, 8), :], 32)
-            sym32 = rec32 & 0x7FF
-            live32 = c < n_sym32
-            m_l = (lo11 == sym32) & live32
-            m_h = (hi11 == sym32) & live32
-            pl_l = jnp.where(m_l, (rec32 >> 19) & 15, pl_l)
-            pc_l = jnp.where(m_l, (rec32 >> 11) & 0xFF, pc_l)
-            pl_h = jnp.where(m_h, (rec32 >> 19) & 15, pl_h)
-            pc_h = jnp.where(m_h, (rec32 >> 11) & 0xFF, pc_h)
-            return pl_l, pc_l, pl_h, pc_h
+            key32 = rec32 & 0xFFF
+            lc32 = rec32 >> 12
+            lc_l = jnp.where(lo12 == key32, lc32, lc_l)
+            lc_h = jnp.where(hi12 == key32, lc32, lc_h)
+            return lc_l, lc_h
 
         z256 = jnp.zeros((256, tp), I32)
-        pl_l, pc_l, pl_h, pc_h = jax.lax.fori_loop(
-            0, nmax, lut_body, (z256, z256, z256, z256))
+        lc_l, lc_h = jax.lax.fori_loop(0, nmax, lut_body, (z256, z256))
+        pl_l, pc_l = lc_l >> 8, lc_l & 0xFF
+        pl_h, pc_h = lc_h >> 8, lc_h & 0xFF
         l0 = jnp.where(vlo, pl_l, 0)
         l1 = jnp.where(vhi, pl_h, 0)
         enc_bits = _fold_sum(l0 + l1)                 # [8, TP]
@@ -345,10 +358,10 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref):
         # Stream space matches the decoder's (bit-reversed bytes packed
         # big-endian, each word filled MSB-down). Per-block state is one
         # dense [8, TP] vreg; spills blend into the A file (rows 8w + r =
-        # the decoder's W0 layout) or the continuation file (rows
-        # cont*r + w for the free block-major reshape after transpose).
+        # the decoder's W0 layout) or the continuation file (same rows
+        # 8w + r layout = the decoder's Wc region, consumed verbatim).
         iota_aw = jax.lax.broadcasted_iota(I32, (64, tp), 0) >> 3
-        iota_cw = jax.lax.broadcasted_iota(I32, (8 * cont, tp), 0) % cont
+        iota_cw = jax.lax.broadcasted_iota(I32, (8 * cont, tp), 0) >> 3
 
         def append(state, v, L):
             """Append the L-bit value v (MSB-first in stream space);
@@ -363,8 +376,8 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref):
             wA = jnp.where(spill & (wi < 8), wi, -1)
             fA = jnp.where(iota_aw == _tile_g(wA, 8), _tile_g(W0, 8), fA)
             wC = jnp.where(spill & (wi >= 8), wi - 8, -1)
-            fC = jnp.where(iota_cw == _rep_rows(wC, cont),
-                           _rep_rows(W0, cont), fC)
+            fC = jnp.where(iota_cw == _tile_g(wC, cont),
+                           _tile_g(W0, cont), fC)
             W0 = jnp.where(spill, _shl(v, 64 - newnb), W0)
             wi = wi + spill.astype(I32)
             nb = jnp.where(spill, newnb - 32, newnb)
@@ -410,14 +423,16 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref):
         wA = jnp.where(wi < 8, wi, -1)
         fA = jnp.where(iota_aw == _tile_g(wA, 8), _tile_g(W0, 8), fA)
         wC = jnp.where(wi >= 8, wi - 8, -1)
-        fC = jnp.where(iota_cw == _rep_rows(wC, cont),
-                       _rep_rows(W0, cont), fC)
+        fC = jnp.where(iota_cw == _tile_g(wC, cont),
+                       _tile_g(W0, cont), fC)
         ok = ok & (size <= 4 * (8 + cont)).astype(I32)
         return fC, fA, size, ok
 
     fC, fA, size, ok = jax.lax.cond(
-        nmax <= 16, lambda: tail(16), lambda: tail(64))
-    words_ref[...] = fC.T
+        nmax <= 16, lambda: tail(16),
+        lambda: jax.lax.cond(nmax <= 32, lambda: tail(32),
+                             lambda: tail(64)))
+    words_ref[...] = fC
     a_ref[...] = fA
     size_ref[...] = size
     ok_ref[...] = ok
@@ -450,15 +465,17 @@ def dct_encode_words_packed(xw: jnp.ndarray, qtx: jnp.ndarray,
                             interpret: bool = False,
                             tile: int | None = None):
     """Fused DCT+quantize+Huffman-encode: [128, NP] i32 pixel quad words
-    (+ [3*512, 1] expanded qtables, [1, NP] plane ids) -> the
-    encode_words_packed outputs. NP must already be a tile multiple
-    (the compress path pads at pixel packing)."""
+    (+ [3*512, 1] expanded qtables, [1, NP] plane ids) ->
+    (C [8*cont, NP] i32 — the decoder's Wc window region verbatim,
+    A [64, NP] i32 — the decoder's W0 region, sizes [NP*8], ok [NP*8]).
+    NP must already be a tile multiple (the compress path pads at pixel
+    packing)."""
     tp = tile or TP
     ntp = xw.shape[1]
     grid = (ntp // tp,)
-    wordsT, A, size8, ok8 = pl.pallas_call(
+    C, A, size8, ok8 = pl.pallas_call(
         _dct_encode_kernel8,
-        out_shape=(jax.ShapeDtypeStruct((ntp, 8 * cont), I32),
+        out_shape=(jax.ShapeDtypeStruct((8 * cont, ntp), I32),
                    jax.ShapeDtypeStruct((64, ntp), I32),
                    jax.ShapeDtypeStruct((8, ntp), I32),
                    jax.ShapeDtypeStruct((8, ntp), I32)),
@@ -466,15 +483,14 @@ def dct_encode_words_packed(xw: jnp.ndarray, qtx: jnp.ndarray,
         in_specs=[pl.BlockSpec((128, tp), lambda i: (0, i)),
                   pl.BlockSpec((1536, 1), lambda i: (0, 0)),
                   pl.BlockSpec((1, tp), lambda i: (0, i))],
-        out_specs=(pl.BlockSpec((tp, 8 * cont), lambda i: (i, 0)),
+        out_specs=(pl.BlockSpec((8 * cont, tp), lambda i: (0, i)),
                    pl.BlockSpec((64, tp), lambda i: (0, i)),
                    pl.BlockSpec((8, tp), lambda i: (0, i)),
                    pl.BlockSpec((8, tp), lambda i: (0, i))),
         scratch_shapes=[pltpu.VMEM((2048, tp), I32)],
         interpret=interpret,
     )(xw, qtx, pids)
-    return (wordsT.reshape(ntp * 8, cont), A,
-            size8.T.reshape(ntp * 8), ok8.T.reshape(ntp * 8) != 0)
+    return C, A, size8.T.reshape(ntp * 8), ok8.T.reshape(ntp * 8) != 0
 
 
 @functools.partial(jax.jit, static_argnames=("cont", "interpret", "tile"))
@@ -483,13 +499,13 @@ def encode_words_packed(pairs8: jnp.ndarray, cont: int = 8,
     """[256, NP] i32 packed-8 coefficient pairs (dct_quantize_words
     layout; lane columns beyond the real block count may carry pad
     blocks — their outputs are valid chunks the caller ignores) ->
-    (wordsC [NP_t*8, cont] i32 block-major CONTINUATION words (words 8..
-    of each chunk; NP_t = NP padded to the tile), A [64, NP_t] i32 —
-    every chunk's first 8 words in the packed decoder's W0 layout,
-    sizes [NP_t*8], ok [NP_t*8]).
+    (C [8*cont, NP_t] i32 continuation words in the decoder's Wc window
+    layout (row 8w + r = word 8+w of block 8c + r; NP_t = NP padded to
+    the tile), A [64, NP_t] i32 — every chunk's first 8 words in the
+    packed decoder's W0 layout, sizes [NP_t*8], ok [NP_t*8]).
 
     Words live in the kernel stream space (bit-reversed bytes packed
-    big-endian): A feeds decode_words8_packed_split directly and the
+    big-endian): (A, C) feed decode_words8_packed_split directly and the
     on-disk stream is one linear host pass away (native.repack_split)."""
     tp = tile or TP
     npc = pairs8.shape[1]
@@ -499,26 +515,22 @@ def encode_words_packed(pairs8: jnp.ndarray, cont: int = 8,
             [pairs8, jnp.zeros((256, pad), I32)], axis=1)
     ntp = pairs8.shape[1]
     grid = (ntp // tp,)
-    wordsT, A, size8, ok8 = pl.pallas_call(
+    C, A, size8, ok8 = pl.pallas_call(
         _encode_kernel8,
-        out_shape=(jax.ShapeDtypeStruct((ntp, 8 * cont), I32),
+        out_shape=(jax.ShapeDtypeStruct((8 * cont, ntp), I32),
                    jax.ShapeDtypeStruct((64, ntp), I32),
                    jax.ShapeDtypeStruct((8, ntp), I32),
                    jax.ShapeDtypeStruct((8, ntp), I32)),
         grid=grid,
         in_specs=[pl.BlockSpec((256, tp), lambda i: (0, i))],
-        out_specs=(pl.BlockSpec((tp, 8 * cont), lambda i: (i, 0)),
+        out_specs=(pl.BlockSpec((8 * cont, tp), lambda i: (0, i)),
                    pl.BlockSpec((64, tp), lambda i: (0, i)),
                    pl.BlockSpec((8, tp), lambda i: (0, i)),
                    pl.BlockSpec((8, tp), lambda i: (0, i))),
         scratch_shapes=[pltpu.VMEM((2048, tp), I32)],
         interpret=interpret,
     )(pairs8)
-    # free reshape: row 8c + (col // cont), word col % cont
-    wordsC = wordsT.reshape(ntp * 8, cont)
-    sizes = size8.T.reshape(ntp * 8)
-    ok = ok8.T.reshape(ntp * 8)
-    return wordsC, A, sizes, ok != 0
+    return C, A, size8.T.reshape(ntp * 8), ok8.T.reshape(ntp * 8) != 0
 
 
 @functools.partial(jax.jit, static_argnames=("cont", "interpret", "tile"))
@@ -537,11 +549,12 @@ def encode_words8(coeffs: jnp.ndarray, cont: int = 56,
     if padn:
         pairs = jnp.concatenate(
             [pairs, jnp.zeros((padn, 32), I32)], axis=0)
-    wordsC, A, sizes, ok = encode_words_packed(
+    C, A, sizes, ok = encode_words_packed(
         pack_rows8(pairs), cont=cont, interpret=interpret, tile=tile)
     ntp = A.shape[1]
     a_bm = A.reshape(8, 8, ntp).transpose(2, 1, 0).reshape(ntp * 8, 8)
-    words = jnp.concatenate([a_bm, wordsC], axis=1)
+    c_bm = C.reshape(cont, 8, ntp).transpose(2, 1, 0).reshape(ntp * 8, cont)
+    words = jnp.concatenate([a_bm, c_bm], axis=1)
     return words[:n], A, sizes[:n], ok[:n]
 
 

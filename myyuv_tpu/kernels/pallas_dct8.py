@@ -331,12 +331,21 @@ def dequantize_idct_words(coef8: jnp.ndarray, qtx: jnp.ndarray,
 
 def pack_pixel_words(plane: jnp.ndarray) -> jnp.ndarray:
     """[H, W] u8 plane -> [128, N/8] i32 pixel quad words (packed-8
-    layout, 4 consecutive row pixels per word, little-endian)."""
+    layout, 4 consecutive row pixels per word, little-endian).
+
+    When the block-column count is a multiple of 8 the relayout is ONE
+    5D transpose (the exact mirror of unpack_pixel_words) instead of the
+    two-hop route through a [N, 16] block-major intermediate — the hops
+    cost ~0.6 ms/4K frame of pure HBM shuffling."""
     h, w = plane.shape
     n = (h // 8) * (w // 8)
+    wb = w // 8
     v = jax.lax.bitcast_convert_type(
         plane.reshape(h, w // 4, 4), jnp.int32)         # [H, W/4]
-    b16 = v.reshape(h // 8, 8, w // 8, 2).transpose(0, 2, 1, 3).reshape(
+    if wb % 8 == 0:
+        t = v.reshape(h // 8, 8, wb // 8, 8, 2).transpose(1, 4, 3, 0, 2)
+        return t.reshape(128, n // 8)
+    b16 = v.reshape(h // 8, 8, wb, 2).transpose(0, 2, 1, 3).reshape(
         n, 16)
     return pack_rows8(b16)
 

@@ -1,10 +1,10 @@
-"""Split-stream device interchange: converters and edge geometries.
+"""Dense two-region device interchange: converters and edge geometries.
 
 The frame/batch device paths carry compressed data as (A [64, ceil8(N)]
-packed-8 first-32-byte words in the decoder's W0 window layout, B
-continuation rows, sizes); these tests pin the native/numpy converters
-and the XLA compact/expand round trip on streams with many multi-row
-chunks (high quality) and non-multiple-of-8 block counts.
+first-32-byte words, C [cont*8, ceil8(N)] continuation words — both in
+the decoder's window layout — plus sizes); these tests pin the
+native/numpy converters and the dense round trip on streams with many
+multi-row chunks (high quality) and non-multiple-of-8 block counts.
 """
 import numpy as np
 import jax.numpy as jnp
@@ -58,13 +58,12 @@ def test_frame_split_roundtrip(rng, quality):
     h, w = 64, 64
     y, u, v = _frame(rng, h, w)
     qts = eb.plane_qtables([quality] * 3)
-    cA, cB, sizes, total, ok = ds.compress_frame(
+    cA, cC, sizes, total, ok = ds.compress_frame(
         jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *qts,
-        capb8_pb=ds.CAPB8_ROOMY)
+        cont=ds.CONT_ROOMY)
     assert bool(ok)
-    cw = 16 if int(np.asarray(sizes).max()) <= 64 else 64
     ry, ru, rv, dok = ds.decompress_frame(
-        cA, cB, sizes, *qts, h=h, w=w, cw=cw)
+        cA, cC, sizes, *qts, h=h, w=w)
     assert bool(dok)
     # pixels must round-trip exactly through the entropy layer: compare
     # against the transform-only roundtrip
@@ -84,12 +83,12 @@ def test_frame_split_nondivisible_blocks(rng):
     h, w = 48, 48
     y, u, v = _frame(rng, h, w)
     qts = eb.plane_qtables([50] * 3)
-    cA, cB, sizes, total, ok = ds.compress_frame(
+    cA, cC, sizes, total, ok = ds.compress_frame(
         jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *qts,
-        capb8_pb=ds.CAPB8_ROOMY)
+        cont=ds.CONT_ROOMY)
     assert bool(ok)
     ry, ru, rv, dok = ds.decompress_frame(
-        cA, cB, sizes, *qts, h=h, w=w, cw=64)
+        cA, cC, sizes, *qts, h=h, w=w)
     assert bool(dok)
     from myyuv_tpu.kernels import scalar
     qt = scalar.plane_qtable(0, 50)
@@ -101,13 +100,14 @@ def test_frame_split_nondivisible_blocks(rng):
 
 
 def test_capacity_overflow_flags_ok_false(rng):
-    """A default-budget B region overflows on a high-entropy frame."""
+    """The default 64-byte emission tier overflows on a high-entropy
+    frame (chunks >64 B flip ok; callers retry with CONT_ROOMY)."""
     h, w = 64, 64
     y, u, v = _frame(rng, h, w)
     qts = eb.plane_qtables([100] * 3)
-    cA, cB, sizes, total, ok = ds.compress_frame(
+    cA, cC, sizes, total, ok = ds.compress_frame(
         jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *qts,
-        capb8_pb=1)
+        cont=ds.CONT_DEFAULT)
     assert not bool(ok)
 
 

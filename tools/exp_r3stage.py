@@ -1,16 +1,16 @@
 """Round-3 stage timings for the PRODUCTION fused 4K frame path.
 
 Times the two production executables (compress_frame / decompress_frame)
-and their internal phases as separately-jitted calls:
+and their internal phases as separately-jitted calls (dense two-region
+interchange):
 
   compress   = pack relayout + fused DCT+quant+Huffman-encode kernel
-               + split-stream compaction
-  decompress = window expansion + tree-parse kernel
-               + fused payload-decode+IDCT kernel + unpack relayout
+               (regions A and C come straight out of the kernel)
+  decompress = tree-parse kernel + fused payload-decode+IDCT kernel
+               + unpack relayout (no window expansion at all)
 
 Run stages selectively: python tools/exp_r3stage.py [full|sub|all]
 """
-import functools
 import os
 import sys
 import time
@@ -67,11 +67,11 @@ def main():
 
     if which in ("full", "all"):
         comp = lambda: ds.compress_frame(y, u, v, *qts)  # noqa: E731
-        cA, cB, sizes, total, ok = comp()
+        cA, cC, sizes, total, ok = comp()
         print(f"compress_frame:   {timeit(lambda: comp()[0]):6.2f} ms "
               f"(ok={bool(ok)})")
         dec = lambda: ds.decompress_frame(  # noqa: E731
-            cA, cB, sizes, *qts, h=h, w=w)
+            cA, cC, sizes, *qts, h=h, w=w)
         print(f"decompress_frame: {timeit(lambda: dec()[0]):6.2f} ms")
 
     if which in ("sub", "all"):
@@ -80,7 +80,7 @@ def main():
         def packf(y, u, v):
             parts = [p8.pack_pixel_words(p) for p in (y, u, v)]
             xw = jnp.concatenate(parts, axis=1)
-            padc = (-(n // 8)) % pe8.TP
+            padc = (-(n // 8)) % p8.TILE
             if padc:
                 xw = jnp.concatenate(
                     [xw, jnp.zeros((128, padc), jnp.int32)], axis=1)
@@ -92,34 +92,16 @@ def main():
         pids = p8.plane_pids(ny, nc, xw.shape[1] - n // 8)
         fenc = jax.jit(lambda xw: pe8.dct_encode_words_packed(
             xw, qtx, pids, cont=8))
-        wordsC, A, sizes8, ok8 = fenc(xw)
+        C, A, sizes8, ok8 = fenc(xw)
         print(f"  dct+enc kernel: {timeit(lambda: fenc(xw)[1]):6.2f} ms")
-        jcomp = jax.jit(lambda wc, a, s: ds._compact_split(
-            wc, a, s, jnp.bool_(True), ds.CAPB8_DEFAULT))
-        cA, cB, s_, total, ok2 = jcomp(wordsC, A, sizes8[:n])
-        print(f"  compact:        "
-              f"{timeit(lambda: jcomp(wordsC, A, sizes8[:n])[1]):6.2f} ms")
 
         # --- decompress sub-phases ----------------------------------------
-        jexp = jax.jit(lambda a, b, s: ds._expand_split(
-            a, b, ds._chunk_rows(s), 16))
-        W0, Wc = jexp(cA, cB, s_)
-        print(f"  expand:         "
-              f"{timeit(lambda: jexp(cA, cB, s_)[1]):6.2f} ms")
-
-        # tree kernel alone
-        from myyuv_tpu.entropy.pallas_decode import _bitrev8, _shr_l
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
         @jax.jit
         def jtree(W0, Wc):
             ntp = W0.shape[1]
-            w0 = W0[0:8]
-            b0 = _bitrev8(_shr_l(w0, 24) & 0xFF)
-            b1 = _bitrev8(_shr_l(w0, 16) & 0xFF)
-            b2 = _bitrev8(_shr_l(w0, 8) & 0xFF)
-            meta = jnp.concatenate([b0 | (b1 << 8), b2], axis=0)
             tile = pd8.TILE
             wcr = Wc.shape[0]
             return pl.pallas_call(
@@ -129,22 +111,21 @@ def main():
                            jax.ShapeDtypeStruct((8, ntp), I32)),
                 grid=(ntp // tile,),
                 in_specs=[pl.BlockSpec((64, tile), lambda i: (0, i)),
-                          pl.BlockSpec((wcr, tile), lambda i: (0, i)),
-                          pl.BlockSpec((16, tile), lambda i: (0, i))],
+                          pl.BlockSpec((wcr, tile), lambda i: (0, i))],
                 out_specs=(pl.BlockSpec((256, tile), lambda i: (0, i)),
                            pl.BlockSpec((72, tile), lambda i: (0, i)),
                            pl.BlockSpec((8, tile), lambda i: (0, i))),
                 scratch_shapes=[pltpu.VMEM((512, tile), I32)],
-            )(W0, Wc, meta)
+            )(W0, Wc)
 
-        sym2, counts, tbad = jtree(W0, Wc)
-        print(f"  tree kernel:    {timeit(lambda: jtree(W0, Wc)[0]):6.2f} ms")
+        sym2, counts, tbad = jtree(A, C)
+        print(f"  tree kernel:    {timeit(lambda: jtree(A, C)[0]):6.2f} ms")
 
-        # fused payload+idct (full decode path minus expand/unpack)
+        # fused payload+idct (full decode path minus unpack)
         fdec = jax.jit(lambda W0, Wc: pd8.decode_idct_words8_split(
             W0, Wc, qtx, pids))
-        pixw, okd = fdec(W0, Wc)
-        print(f"  tree+pay+idct:  {timeit(lambda: fdec(W0, Wc)[0]):6.2f} ms")
+        pixw, okd = fdec(A, C)
+        print(f"  tree+pay+idct:  {timeit(lambda: fdec(A, C)[0]):6.2f} ms")
 
         @jax.jit
         def junpack(pixw):

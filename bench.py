@@ -5,14 +5,21 @@ Prints ONE JSON line:
 
 Paths measured (all bit-exact vs the compiled reference CLI):
 
-  device  — the fully on-chip codec: DCT+quantize, Pallas Huffman
-            encode, ragged stream compaction, window expansion, Pallas
-            Huffman decode, dequantize+IDCT. One executable per direction
-            per geometry (engine/device_stream.compress_frame /
-            decompress_frame); nothing crosses the host link.
+  device  — the fully on-chip codec: pixel pack, fused
+            DCT+quantize+Huffman-encode, dense two-region interchange,
+            fused Huffman-decode+IDCT, unpack. One executable per
+            direction per geometry (engine/device_stream.compress_frame
+            / decompress_frame); nothing crosses the host link.
+  q90     — the same roundtrip at quality 90 (BASELINE config 2: the
+            cont=56 emission tier / cw=64 decode geometry), with its own
+            bit-exactness flag.
   batch   — the same on-chip codec over a B-frame 1080p batch
             (BASELINE.json config 3: batched synthetic 1080p frames),
-            frames generated on device; reports frames/s.
+            frames generated on device; reports frames/s over the
+            frames ACTUALLY measured (batch_frames_measured).
+  conv    — the BMP->IYUV and IYUV->RGB conversion kernels on-chip
+            (BASELINE config 1 starts at BMP; myyuv_yuv.cpp:108-124 and
+            viewer/frag_yuv.glsl), bit-exactness asserted in-run.
   cpu     — fused native C++ codec, 4 host threads, zero device traffic.
   hybrid  — device transform + native host entropy (tunnel-bound here;
             the PCIe path in production).
@@ -43,7 +50,6 @@ BASELINE_CACHE = REPO / ".oracle" / "baseline_bench.json"
 W4K, H4K = 4032, 3008
 W1080, H1080 = 1920, 1088          # 1080p padded to the codec's 16-multiple
 BATCH_B = 8                        # frames per batched executable
-BATCH_TOTAL = 1024                 # frames counted for the batch metric
 QUALITY = 50
 REPS = int(os.environ.get("MYYUV_BENCH_REPS", "10"))
 WITH_STAGES = os.environ.get("MYYUV_BENCH_STAGES", "1") != "0"
@@ -139,17 +145,19 @@ def _time(fn, reps=REPS, sync=_sync):
     return (time.perf_counter() - t0) / reps
 
 
-def bench_device_4k(planes_np, qts):
+def bench_device_4k(planes_np, qts, cont=None):
     """Fully on-chip 4K roundtrip (frame-level executables)."""
     import jax.numpy as jnp
     from myyuv_tpu.engine import device_stream as ds
 
     h, w = planes_np[0].shape
     y, u, v = [jnp.asarray(p) for p in planes_np]
+    cont = cont if cont is not None else ds.CONT_DEFAULT
 
     def rt():
-        cA, cB, sizes, total, ok = ds.compress_frame(y, u, v, *qts)
-        ry, ru, rv, dok = ds.decompress_frame(cA, cB, sizes, *qts,
+        cA, cC, sizes, total, ok = ds.compress_frame(y, u, v, *qts,
+                                                     cont=cont)
+        ry, ru, rv, dok = ds.decompress_frame(cA, cC, sizes, *qts,
                                               h=h, w=w)
         return ry, total, ok & dok
 
@@ -159,6 +167,56 @@ def bench_device_4k(planes_np, qts):
         return None, None, None
     dt = _time(lambda: rt()[0])
     return dt, int(total), np.asarray(ry)
+
+
+def bench_device_q90(planes_np):
+    """4K q=90 roundtrip (BASELINE config 2): the roomy emission tier
+    (cont=56 / cw=64 window geometry), bit-exact vs the scalar oracle."""
+    from myyuv_tpu.engine import batch as eb
+    from myyuv_tpu.engine import device_stream as ds
+    from myyuv_tpu.kernels import scalar
+
+    qts90 = eb.plane_qtables([90] * 3)
+    dt, total, ry = bench_device_4k(planes_np, qts90, cont=ds.CONT_ROOMY)
+    if dt is None:
+        return None, None, False
+    qt = scalar.plane_qtable(0, 90)
+    want = scalar.blocks_to_plane(
+        scalar.dequantize_idct_blocks(
+            scalar.dct_quantize_blocks(
+                scalar.plane_to_blocks(planes_np[0]), qt), qt),
+        *planes_np[0].shape)
+    return dt, total, bool(np.array_equal(ry, want))
+
+
+def bench_conversions(planes_np):
+    """On-chip BMP->IYUV and IYUV->RGB conversion kernels (config 1
+    starts at BMP->IYUV; myyuv_yuv.cpp:108-124 / viewer/frag_yuv.glsl),
+    bit-exactness vs the scalar models asserted in the same run."""
+    import jax
+    import jax.numpy as jnp
+    from myyuv_tpu.kernels import device as kdev
+    from myyuv_tpu.kernels import scalar
+
+    h, w = planes_np[0].shape
+    rng = np.random.default_rng(1)
+    bgrx = rng.integers(0, 256, (h, w, 4), np.uint8)
+    bgrx[..., 3] = 0
+    j_fwd = jax.jit(kdev.bgrx_to_iyuv)
+    j_inv = jax.jit(kdev.iyuv_to_bgrx)
+    bdev = jnp.asarray(bgrx)
+    y, u, v = j_fwd(bdev)
+    wy, wu, wv = scalar.bgrx_to_iyuv(bgrx)
+    conv_ok = (np.array_equal(np.asarray(y), wy)
+               and np.array_equal(np.asarray(u), wu)
+               and np.array_equal(np.asarray(v), wv))
+    fwd_s = _time(lambda: j_fwd(bdev)[0], reps=5)
+    planes = [jnp.asarray(p) for p in planes_np]
+    out = j_inv(*planes)
+    want = scalar.iyuv_to_bgrx(*planes_np)
+    conv_ok = conv_ok and np.array_equal(np.asarray(out), want)
+    inv_s = _time(lambda: j_inv(*planes), reps=5)
+    return fwd_s, inv_s, conv_ok
 
 
 def bench_device_batch_1080p(qts):
@@ -190,60 +248,112 @@ def bench_device_batch_1080p(qts):
     ry, total, ok = rt(0)
     _sync(ry)
     if not bool(ok):
-        return None, 0
-    n_batches = max(1, BATCH_TOTAL // BATCH_B)
-    # measure enough batches to be stable; scale to the nominal total
-    meas = min(n_batches, max(4, REPS))
+        return None, 0, 0
+    # measure what we report: frames = meas * BATCH_B, stated in the JSON
+    meas = max(4, REPS)
     t0 = time.perf_counter()
     for i in range(meas):
         ry, total, ok = rt(i + 1)
     _sync(ry)
     per_frame = (time.perf_counter() - t0) / (meas * BATCH_B)
-    return per_frame, int(total)
+    return per_frame, int(total), meas * BATCH_B
 
 
 def bench_stages(planes_np, qts):
-    """Per-stage device timings on the 4K luma plane (SURVEY §5 tracing)."""
+    """Per-stage DEVICE timings of the PRODUCTION fused frame pipeline
+    (SURVEY §5 tracing): pack relayout, fused DCT+quantize+encode
+    kernel, fused decode+IDCT kernel pair, unpack relayout. Wall timing
+    through the tunnel carries a ~2.5 ms dispatch floor per call, so
+    stages run under jax.profiler and the per-module device durations
+    come from the xplane trace."""
+    import glob
+    import importlib.util
+    import tempfile
+
     import jax
     import jax.numpy as jnp
-    from myyuv_tpu.engine import device_stream as ds
-    from myyuv_tpu.kernels import device as kdev
+    from myyuv_tpu.entropy import pallas_decode8 as pd8
+    from myyuv_tpu.entropy import pallas_encode8 as pe8
+    from myyuv_tpu.kernels import pallas_dct8 as p8
 
-    y = jnp.asarray(planes_np[0])
     h, w = planes_np[0].shape
-    qt = qts[0]
+    ny = (h // 8) * (w // 8)
+    nc = (h // 16) * (w // 16)
+    n = ny + 2 * nc
+    y, u, v = [jnp.asarray(p) for p in planes_np]
+
+    @jax.jit
+    def stage_pack(y, u, v):
+        parts = [p8.pack_pixel_words(p) for p in (y, u, v)]
+        xw = jnp.concatenate(parts, axis=1)
+        padc = (-(n // 8)) % p8.TILE
+        if padc:
+            xw = jnp.concatenate(
+                [xw, jnp.zeros((128, padc), jnp.int32)], axis=1)
+        return xw
+
+    xw = stage_pack(y, u, v)
+    qtx = p8.expand_qtables(tuple(qts))
+    pids = p8.plane_pids(ny, nc, xw.shape[1] - n // 8)
+
+    @jax.jit
+    def stage_encode(xw):
+        return pe8.dct_encode_words_packed(xw, qtx, pids, cont=8)
+
+    C, A, sizes8, ok8 = stage_encode(xw)
+
+    @jax.jit
+    def stage_decode(a, c):
+        return pd8.decode_idct_words8_split(a, c, qtx, pids)
+
+    pixw, okd = stage_decode(A, C)
+
+    @jax.jit
+    def stage_unpack(pixw):
+        yv = p8.unpack_pixel_words(pixw[:, :ny // 8], h, w)
+        uv = p8.unpack_pixel_words(
+            pixw[:, ny // 8:(ny + nc) // 8], h // 2, w // 2)
+        vv = p8.unpack_pixel_words(
+            pixw[:, (ny + nc) // 8:n // 8], h // 2, w // 2)
+        return yv, uv, vv
+
+    ry, _, _ = stage_unpack(pixw)
+    _sync(ry)
+
+    reps = 3
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            for _ in range(reps):
+                xw = stage_pack(y, u, v)
+                C, A, _, _ = stage_encode(xw)
+                pixw, _ = stage_decode(A, C)
+                ry, _, _ = stage_unpack(pixw)
+            _sync(ry)
+        pb = sorted(glob.glob(td + "/plugins/profile/*/*.xplane.pb"))[-1]
+        spec = importlib.util.spec_from_file_location(
+            "xplane_dump", str(REPO / "tools" / "xplane_dump.py"))
+        xd = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(xd)
+        buf = open(pb, "rb").read()
+        mods = {}
+        for fno, wt, v in xd.fields(buf):
+            if fno != 1:
+                continue
+            name, meta, agg, cnt = xd.parse_plane(v)
+            if "TPU" not in name:
+                continue
+            for (lname, mid), ms in agg.items():
+                if lname == "XLA Modules":
+                    mods[meta.get(mid, str(mid))] = ms / reps
     out = {}
-
-    j_dctq = jax.jit(lambda p: kdev.dct_quantize_plane(p, qt))
-    coeffs = j_dctq(y)
-    out["dct_quantize"] = _time(lambda: j_dctq(y), reps=5)
-    n = coeffs.shape[0]
-    cflat = coeffs.reshape(n, 64)
-    j_enc = jax.jit(lambda c: ds._encode_words_dispatch(c)[0])
-    j_enc(cflat)
-    out["huffman_encode"] = _time(lambda: j_enc(cflat), reps=5)
-
-    def comp(c):
-        words, aT, sizes, ok = ds._encode_words_dispatch(c)
-        return ds._compact_split(words[:, 8:], aT, sizes, jnp.all(ok))
-    j_comp = jax.jit(comp)
-    cA, cB, sizes, total, ok = j_comp(cflat)
-    full = _time(lambda: j_comp(cflat)[1], reps=5)
-    out["compact"] = max(0.0, full - out["huffman_encode"])
-
-    j_win = jax.jit(lambda a, b, s: ds._expand_split(
-        a, b, ds._chunk_rows(s.astype(jnp.int32)), 16))
-    W0, Wc = j_win(cA, cB, sizes)
-    out["window"] = _time(lambda: j_win(cA, cB, sizes)[0], reps=5)
-    j_dec = jax.jit(
-        lambda a, c: ds._decode_words8_dispatch(a, c, n)[0])
-    j_dec(W0, Wc)
-    out["huffman_decode"] = _time(lambda: j_dec(W0, Wc), reps=5)
-    j_idct = jax.jit(lambda c: kdev.dequantize_idct_plane(
-        c.reshape(-1, 8, 8), qt, h, w))
-    j_idct(coeffs)
-    out["dequantize_idct"] = _time(lambda: j_idct(coeffs), reps=5)
-    return {k: round(v * 1e3, 2) for k, v in out.items()}
+    for key, sub in (("pack", "stage_pack"),
+                     ("dct_quantize_encode", "stage_encode"),
+                     ("decode_idct", "stage_decode"),
+                     ("unpack", "stage_unpack")):
+        for mname, ms in mods.items():
+            if sub in mname:
+                out[key] = round(ms, 3)
+    return out
 
 
 def main() -> int:
@@ -278,11 +388,31 @@ def main() -> int:
     else:
         log("device on-chip path overflowed capacity (fell back)")
 
+    # --- 4K q=90 roundtrip (BASELINE config 2) ----------------------------
+    q90_s = q90_exact = None
+    try:
+        q90_s, q90_bytes, q90_exact = bench_device_q90(planes_np)
+        if q90_s is not None:
+            log(f"device 4K q90 roundtrip: {1/q90_s:.2f} frames/s "
+                f"({q90_s*1e3:.1f} ms), bit-exact={q90_exact}")
+    except Exception as e:
+        log("q90 bench failed:", e)
+
     # --- batched synthetic 1080p (device) --------------------------------
-    batch_s, _ = bench_device_batch_1080p(qts)
+    batch_s, _, batch_frames = bench_device_batch_1080p(qts)
     if batch_s is not None:
-        log(f"device batched 1080p ({BATCH_B}/exe, {BATCH_TOTAL} nominal): "
-            f"{1/batch_s:.1f} frames/s ({batch_s*1e3:.2f} ms/frame)")
+        log(f"device batched 1080p ({BATCH_B}/exe, {batch_frames} frames "
+            f"measured): {1/batch_s:.1f} frames/s "
+            f"({batch_s*1e3:.2f} ms/frame)")
+
+    # --- conversion kernels (BASELINE config 1 starts at BMP) -------------
+    conv_fwd_s = conv_inv_s = conv_ok = None
+    try:
+        conv_fwd_s, conv_inv_s, conv_ok = bench_conversions(planes_np)
+        log(f"conversions: bgrx->iyuv {conv_fwd_s*1e3:.2f} ms, "
+            f"iyuv->bgrx {conv_inv_s*1e3:.2f} ms, bit-exact={conv_ok}")
+    except Exception as e:
+        log("conversion bench failed:", e)
 
     # --- device transform + native host entropy (hybrid) ----------------
     enc = jax.jit(lambda y, u, v, a, b, c: eb.encode_planes(y, u, v, a, b, c))
@@ -388,7 +518,15 @@ def main() -> int:
         "best_path": best,
         "device_roundtrip_fps": (round(1 / device_s, 2)
                                  if device_s else None),
+        "device_q90_fps": (round(1 / q90_s, 2) if q90_s else None),
+        "q90_bit_exact": q90_exact,
         "batched_1080p_fps": (round(1 / batch_s, 2) if batch_s else None),
+        "batch_frames_measured": batch_frames if batch_s else 0,
+        "conv_bgrx_to_iyuv_ms": (round(conv_fwd_s * 1e3, 2)
+                                 if conv_fwd_s else None),
+        "conv_iyuv_to_bgrx_ms": (round(conv_inv_s * 1e3, 2)
+                                 if conv_inv_s else None),
+        "conversions_bit_exact": conv_ok,
         "cpu_roundtrip_fps": (round(1 / cpu_s, 2) if cpu_s else None),
         "hybrid_roundtrip_fps": round(1 / hybrid_s, 2),
         "reference_cli_roundtrip_s": (round(baseline_s, 3)

@@ -19,15 +19,67 @@ from .. import entropy
 from . import batch as eb
 
 
+def _device_rate(y, u, v, qts, q: int, time_device: bool,
+                 precision: str):
+    """Rate (and optionally throughput) from the FLAGSHIP device codec:
+    compressed size measured from compress_frame's sizes/total — the
+    bytes the device entropy coder actually produces (BASELINE config 4;
+    a device-entropy rate bug shows up here, unlike the host-backend
+    sweep)."""
+    import time
+
+    from . import device_stream as ds
+
+    h, w = y.shape
+    n = (h // 8) * (w // 8) + 2 * (h // 16) * (w // 16)
+    conts = (ds.CONT_ROOMY,) if q >= 85 else ds.CONT_LADDER
+    cA = cC = sizes = total = None
+    for cont in conts:
+        cA, cC, sizes, total, ok = ds.compress_frame(
+            y, u, v, *qts, precision=precision, cont=cont)
+        if bool(ok):
+            break
+    else:
+        raise RuntimeError("device compress overflow")
+    comp_bytes = int(total) + n + 3 * 8 + 12
+    enc_s = dec_s = None
+    if time_device:
+        def sync(x):
+            np.asarray(x.ravel()[:1])
+
+        reps = 3
+        sync(cA)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = ds.compress_frame(y, u, v, *qts,
+                                    precision=precision, cont=cont)
+        sync(out[0])
+        enc_s = (time.perf_counter() - t0) / reps
+        dec = ds.decompress_frame(cA, cC, sizes, *qts, h=h, w=w,
+                                  precision=precision)
+        sync(dec[0])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            dec = ds.decompress_frame(cA, cC, sizes, *qts, h=h, w=w,
+                                      precision=precision)
+        sync(dec[0])
+        dec_s = (time.perf_counter() - t0) / reps
+    return comp_bytes, enc_s, dec_s
+
+
 def quality_sweep(planes: Sequence[np.ndarray],
                   qualities: Sequence[int] = (10, 30, 50, 70, 90),
                   entropy_backend: Optional[str] = None,
-                  precision: str = "exact") -> List[Dict]:
+                  precision: str = "exact",
+                  time_device: bool = False) -> List[Dict]:
     """Per-quality RD point for one frame's (y, u, v) planes.
 
     Returns a list of dicts: quality, psnr_y/u/v (dB), compressed_bytes,
     bits_per_pixel, entropy_bits_per_symbol (Shannon bound from the global
     histogram — how close the per-block Huffman gets to optimal).
+    ``entropy_backend="device"`` measures the rate from the flagship
+    device codec (compress_frame) instead of the host coder, and with
+    ``time_device=True`` adds per-quality device encode/decode seconds.
     """
     y, u, v = [jnp.asarray(p) for p in planes]
     out = []
@@ -36,19 +88,25 @@ def quality_sweep(planes: Sequence[np.ndarray],
         qt_y, qt_u, qt_v = eb.plane_qtables([q, q, q])
         (ry, ru, rv), m = eb.roundtrip_step_jit(y, u, v, qt_y, qt_u, qt_v,
                                                 precision=precision)
-        cy, cu, cv = eb.encode_planes(y, u, v, qt_y, qt_u, qt_v, precision)
-        comp_bytes = 0
-        for c in (cy, cu, cv):
-            sizes, content = entropy.encode_blocks(
-                np.asarray(c).reshape(-1, 64), backend=entropy_backend)
-            comp_bytes += int(content.size) + int(sizes.size) + 8
-        comp_bytes += 12
+        enc_s = dec_s = None
+        if entropy_backend == "device":
+            comp_bytes, enc_s, dec_s = _device_rate(
+                y, u, v, (qt_y, qt_u, qt_v), q, time_device, precision)
+        else:
+            cy, cu, cv = eb.encode_planes(y, u, v, qt_y, qt_u, qt_v,
+                                          precision)
+            comp_bytes = 0
+            for c in (cy, cu, cv):
+                sizes, content = entropy.encode_blocks(
+                    np.asarray(c).reshape(-1, 64), backend=entropy_backend)
+                comp_bytes += int(content.size) + int(sizes.size) + 8
+            comp_bytes += 12
 
         def psnr(sse, n):
             mse = float(sse) / n
             return float(10 * np.log10(255.0 ** 2 / max(mse, 1e-12)))
 
-        out.append({
+        pt = {
             "quality": int(q),
             "psnr_y_db": round(psnr(m["sse_y"], planes[0].size), 3),
             "psnr_u_db": round(psnr(m["sse_u"], planes[1].size), 3),
@@ -57,5 +115,9 @@ def quality_sweep(planes: Sequence[np.ndarray],
             "bits_per_pixel": round(8 * comp_bytes / npix, 4),
             "entropy_bits_per_symbol": round(
                 float(m["entropy_bits_per_symbol"]), 4),
-        })
+        }
+        if enc_s is not None:
+            pt["device_encode_fps"] = round(1 / enc_s, 2)
+            pt["device_decode_fps"] = round(1 / dec_s, 2)
+        out.append(pt)
     return out

@@ -238,10 +238,15 @@ def bgrx_to_iyuv(pixels: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
     cast + 128 with wraparound, and 4:2:0 chroma equal to the *sum of
     per-sample divide_roundnearest(c, 4)* over each 2x2 quad (NOT the
     rounded mean — differs by up to +-2 LSB, myyuv_yuv.cpp:114-121).
+
+    Channels extract from bitcast [..., H, W] i32 pixel words — the
+    [..., 4]-minor u8 layout runs at 1/32 lane utilization on TPU
+    (measured 280 ms/4K frame vs ~5 ms word-based).
     """
-    b = pixels[..., 0].astype(F32)
-    g = pixels[..., 1].astype(F32)
-    r = pixels[..., 2].astype(F32)
+    w32 = jax.lax.bitcast_convert_type(pixels, jnp.int32)  # [..., H, W]
+    b = (w32 & 255).astype(F32)
+    g = ((w32 >> 8) & 255).astype(F32)
+    r = ((w32 >> 16) & 255).astype(F32)
     # runtime zeros keep Mosaic from contracting the mul+add chains into
     # single-rounded FMAs (see _seq_matmul)
     z = _runtime_zero(b)
@@ -253,9 +258,13 @@ def bgrx_to_iyuv(pixels: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
     qcr = (cr + 2) >> 2
 
     def quad_sum(c):
-        a = c[..., 0::2, 0::2] + c[..., 0::2, 1::2]
-        bq = c[..., 1::2, 0::2] + c[..., 1::2, 1::2]
-        return ((a + bq) & 255).astype(jnp.uint8)
+        # 2x2 window sum via reduce_window: the strided-slice
+        # formulation lowers to ~143 ms/4K frame on TPU, this one to
+        # ~6 ms (tools/exp_conv.py); i32 adds are order-exact
+        lead = (1,) * (c.ndim - 2)
+        s = jax.lax.reduce_window(c, 0, jax.lax.add,
+                                  lead + (2, 2), lead + (2, 2), "VALID")
+        return (s & 255).astype(jnp.uint8)
 
     return y, quad_sum(qcb), quad_sum(qcr)
 
@@ -278,9 +287,16 @@ def iyuv_to_bgrx(y: jnp.ndarray, u: jnp.ndarray,
     r = yf + (F32(1.403) * vv + z)
     g = (yf - (F32(0.714) * vv + z)) - (F32(0.344) * uu + z)
     b = yf + (F32(1.773) * uu + z)
-    a = jnp.full_like(yf, 255)
-    out = jnp.stack([b, g, r, a], axis=-1)
-    return jnp.clip(jnp.rint(out), 0, 255).astype(jnp.uint8)
+
+    def chan(x):
+        return jnp.clip(jnp.rint(x), 0, 255).astype(jnp.int32)
+
+    # emit packed pixel words and bitcast to the byte layout (the
+    # [..., 4]-minor u8 stack is VPU poison — see bgrx_to_iyuv)
+    word = chan(b) | (chan(g) << 8) | (chan(r) << 16) \
+        | jnp.int32(-16777216)          # 0xFF000000: alpha byte
+
+    return jax.lax.bitcast_convert_type(word, jnp.uint8)
 
 
 # ---------------------------------------------------------------------------

@@ -1,10 +1,11 @@
-"""Sharded END-TO-END compression on the virtual 8-device CPU mesh.
+"""Sharded FLAGSHIP codec on the virtual 8-device CPU mesh.
 
-Round-1 sharding stopped at the dense transform; these tests put the
-entropy encode + ragged compaction inside the shard_map graph and assert
-the strongest property available: the sharded path produces the SAME
-BYTES as the single-device path, and a full .myyuv file assembled from
-the mesh is identical to the one the host codec writes.
+Round 2 sharded the round-1 flat encoder; these tests pin the round-3
+contract: the production frame pipeline (dense two-region interchange)
+runs under shard_map with plane block rows contiguous over the mesh,
+and produces the SAME BYTES as the single-device path — including a
+full .myyuv file assembled from the mesh, and batches composed through
+shard_batch/gather_streams.
 """
 
 import numpy as np
@@ -34,40 +35,95 @@ def _plane(rng, h, w):
     return (base + noise).astype(np.uint8)
 
 
-def test_sharded_compress_bytes_identical(mesh, rng):
-    plane = _plane(rng, 64, 128)
-    qt = np.asarray(scalar.plane_qtable(0, 50), np.float32)
-    sizes_sh, content_sh = ss.compress_plane_sharded(mesh, plane, qt)
-    coeffs = scalar.dct_quantize_blocks(scalar.plane_to_blocks(plane), qt)
-    sizes_ref, content_ref = entropy.encode_blocks(
-        coeffs.reshape(-1, 64).astype(np.int16))
-    np.testing.assert_array_equal(sizes_sh, sizes_ref)
-    np.testing.assert_array_equal(content_sh, content_ref)
+def _frame(rng, h, w):
+    return [_plane(rng, h, w), _plane(rng, h // 2, w // 2),
+            _plane(rng, h // 2, w // 2)]
 
 
-def test_sharded_compress_with_padding(mesh, rng):
-    # 24x56 -> 21 blocks: not divisible by 8 devices, exercises padding
-    plane = _plane(rng, 24, 56)
-    qt = np.asarray(scalar.plane_qtable(1, 70), np.float32)
-    sizes_sh, content_sh = ss.compress_plane_sharded(mesh, plane, qt)
-    coeffs = scalar.dct_quantize_blocks(scalar.plane_to_blocks(plane), qt)
-    sizes_ref, content_ref = entropy.encode_blocks(
-        coeffs.reshape(-1, 64).astype(np.int16))
-    np.testing.assert_array_equal(sizes_sh, sizes_ref)
-    np.testing.assert_array_equal(content_sh, content_ref)
+def _want_streams(planes, qts):
+    out = []
+    for p, plane in enumerate(planes):
+        co = scalar.dct_quantize_blocks(
+            scalar.plane_to_blocks(plane), qts[p])
+        out.append(entropy.encode_blocks(
+            co.reshape(-1, 64).astype(np.int16)))
+    return out
 
 
-def test_sharded_roundtrip_matches_oracle(mesh, rng):
-    h, w = 40, 72  # 45 blocks: padding on both directions
-    plane = _plane(rng, h, w)
-    qt = np.asarray(scalar.plane_qtable(0, 50), np.float32)
-    sizes, content = ss.compress_plane_sharded(mesh, plane, qt)
-    rec = ss.decompress_plane_sharded(mesh, sizes, content, qt, h, w)
-    want = scalar.blocks_to_plane(
-        scalar.dequantize_idct_blocks(
-            scalar.dct_quantize_blocks(scalar.plane_to_blocks(plane), qt),
-            qt), h, w)
-    np.testing.assert_array_equal(rec, want)
+def _want_recon(planes, qts):
+    out = []
+    for p, plane in enumerate(planes):
+        co = scalar.dct_quantize_blocks(
+            scalar.plane_to_blocks(plane), qts[p])
+        out.append(scalar.blocks_to_plane(
+            scalar.dequantize_idct_blocks(co, qts[p]), *plane.shape))
+    return out
+
+
+def test_sharded_frame_bytes_identical(mesh, rng):
+    """8-device frame compress == the host coder, byte for byte; the
+    chroma planes (32 rows over 8 devices) exercise row padding."""
+    h, w = 64, 128
+    planes = _frame(rng, h, w)
+    qts = [np.asarray(scalar.plane_qtable(i, 50), np.float32)
+           for i in range(3)]
+    streams = ss.compress_frame_sharded(mesh, planes, qts)
+    want = _want_streams(planes, qts)
+    for p in range(3):
+        np.testing.assert_array_equal(
+            streams[p][0].astype(np.int64), want[p][0])
+        np.testing.assert_array_equal(streams[p][1], want[p][1])
+
+
+def test_sharded_frame_roundtrip(mesh, rng):
+    h, w = 64, 128
+    planes = _frame(rng, h, w)
+    qts = [np.asarray(scalar.plane_qtable(i, 70), np.float32)
+           for i in range(3)]
+    streams = ss.compress_frame_sharded(mesh, planes, qts)
+    ry, ru, rv = ss.decompress_frame_sharded(mesh, streams, qts, h, w)
+    want = _want_recon(planes, qts)
+    np.testing.assert_array_equal(ry, want[0])
+    np.testing.assert_array_equal(ru, want[1])
+    np.testing.assert_array_equal(rv, want[2])
+
+
+def test_sharded_heavy_padding(mesh, rng):
+    """Chroma 24 rows -> 3 block rows over 8 devices: most devices hold
+    only padding chunks; they must drop cleanly at assembly."""
+    h, w = 48, 64
+    planes = _frame(rng, h, w)
+    qts = [np.asarray(scalar.plane_qtable(i, 50), np.float32)
+           for i in range(3)]
+    streams = ss.compress_frame_sharded(mesh, planes, qts)
+    want = _want_streams(planes, qts)
+    for p in range(3):
+        np.testing.assert_array_equal(
+            streams[p][0].astype(np.int64), want[p][0])
+        np.testing.assert_array_equal(streams[p][1], want[p][1])
+    ry, ru, rv = ss.decompress_frame_sharded(mesh, streams, qts, h, w)
+    want_r = _want_recon(planes, qts)
+    np.testing.assert_array_equal(ry, want_r[0])
+    np.testing.assert_array_equal(ru, want_r[1])
+
+
+def test_sharded_batch_streams(mesh, rng):
+    """shard_batch -> sharded compress -> gather_streams composition:
+    every frame's streams equal the host coder's."""
+    h, w, b = 32, 64, 3
+    ys = np.stack([_plane(rng, h, w) for _ in range(b)])
+    us = np.stack([_plane(rng, h // 2, w // 2) for _ in range(b)])
+    vs = np.stack([_plane(rng, h // 2, w // 2) for _ in range(b)])
+    qts = [np.asarray(scalar.plane_qtable(i, 50), np.float32)
+           for i in range(3)]
+    frames = ss.compress_batch_sharded(mesh, (ys, us, vs), qts)
+    assert len(frames) == b
+    for f in range(b):
+        want = _want_streams([ys[f], us[f], vs[f]], qts)
+        for p in range(3):
+            np.testing.assert_array_equal(
+                frames[f][p][0].astype(np.int64), want[p][0])
+            np.testing.assert_array_equal(frames[f][p][1], want[p][1])
 
 
 def test_sharded_file_matches_host_file(mesh, tmp_path, rng):
@@ -78,16 +134,14 @@ def test_sharded_file_matches_host_file(mesh, tmp_path, rng):
     from myyuv_tpu.formats.yuv import FourccFormats
 
     h, w = 48, 64
-    planes = [_plane(rng, h, w), _plane(rng, h // 2, w // 2),
-              _plane(rng, h // 2, w // 2)]
+    planes = _frame(rng, h, w)
     img = YUVImage.from_planes(FourccFormats.IYUV, planes, w, h)
     params = bytes([50, 50, 50])
     want = pipeline.compress_dct(img, params)
 
     qts = [np.asarray(scalar.plane_qtable(i, 50), np.float32)
            for i in range(3)]
-    streams = [ss.compress_plane_sharded(mesh, planes[i], qts[i])
-               for i in range(3)]
+    streams = ss.compress_frame_sharded(mesh, planes, qts)
     got = pipeline.streams_to_compressed(img, params, streams)
     f1, f2 = tmp_path / "host.myyuv", tmp_path / "mesh.myyuv"
     want.dump(f1)

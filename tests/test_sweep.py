@@ -20,3 +20,18 @@ def test_rd_curve_monotone(images_dir):
     assert psnr[0] < psnr[1] < psnr[2]   # higher q => better fidelity
     assert size[0] < size[1] < size[2]   # ...and larger streams
     assert all(p["entropy_bits_per_symbol"] > 0 for p in pts)
+
+
+def test_rd_device_backend_rate_matches_host(images_dir):
+    """The flagship-codec rate (entropy_backend='device') must equal the
+    host coder's byte count exactly — the device entropy path produces
+    byte-identical streams (BASELINE config 4 guard)."""
+    from myyuv_tpu import YUVImage
+    img = YUVImage.load(images_dir / "chef-with-trumpet.myyuv")
+    y, u, v = img.planes()[:3]
+    planes = [y[:64, :128], u[:32, :64], v[:32, :64]]
+    host = sweep.quality_sweep(planes, qualities=(50, 90))
+    dev = sweep.quality_sweep(planes, qualities=(50, 90),
+                              entropy_backend="device")
+    for hp, dp in zip(host, dev):
+        assert hp["compressed_bytes"] == dp["compressed_bytes"]

@@ -1,13 +1,15 @@
-"""Scaling-efficiency sweep of the sharded end-to-end codec.
+"""Scaling-efficiency sweep of the sharded FLAGSHIP codec.
 
-Runs the shard_map compress+decompress graph (engine/sharded_stream) on
-virtual CPU meshes of 1/2/4/8 devices with FIXED global work (strong
-scaling) and reports time per step, speedup, and parallel efficiency.
+Runs the shard_map compress+decompress graph (engine/sharded_stream,
+dense two-region interchange) on virtual CPU meshes of 1/2/4/8 devices,
+both STRONG scaling (fixed global work) and WEAK scaling (fixed
+per-device work), and reports time per step, speedup, and parallel
+efficiency.
 
 Each mesh size runs in its own subprocess because the virtual device
 count is fixed at backend init
 (``--xla_force_host_platform_device_count``). Prints one JSON line:
-  {"metric": "sharded_codec_strong_scaling", "points": [...]}
+  {"metric": "sharded_codec_scaling", "strong": [...], "weak": [...]}
 
 Caveat for this dev box: 4 physical cores back the virtual devices, so
 ideal scaling stops at 4; the 8-device point mainly validates that the
@@ -29,6 +31,7 @@ import numpy as np
 import jax
 jax.config.update("jax_platforms", "cpu")
 n = int(sys.argv[1])
+mode = sys.argv[2]
 import jax.numpy as jnp
 from myyuv_tpu.engine import sharded_stream as ss
 from myyuv_tpu.kernels import scalar
@@ -39,20 +42,30 @@ devices = jax.devices("cpu")[:n]
 assert len(devices) == n, (len(devices), n)
 mesh = meshlib.make_mesh((n, 1), devices)
 
-h, w = 512, 768                       # 6144 blocks of fixed global work
+# strong: fixed global work; weak: fixed per-device work
+h = 512 if mode == "strong" else 64 * n
+w = 768
 yy, xx = np.mgrid[0:h, 0:w]
-plane = ((128 + 60 * np.sin(xx / 9.0) * np.cos(yy / 7.0)).astype(np.int32)
-         % 256).astype(np.uint8)
-qt = jnp.asarray(np.asarray(scalar.plane_qtable(0, 50), np.float32))
-blocks = ss._host_plane_to_blocks(plane)
-compress, decompress = ss.make_sharded_plane_codec(mesh)
-sh = NamedSharding(mesh, P(ss.AXES))
-bdev = jax.device_put(jnp.asarray(blocks), sh)
+y = ((128 + 60 * np.sin(xx / 9.0) * np.cos(yy / 7.0)).astype(np.int32)
+     % 256).astype(np.uint8)
+yyc, xxc = np.mgrid[0:h // 2, 0:w // 2]
+u = ((128 + 40 * np.sin(xxc / 5.0)).astype(np.int32) % 256).astype(np.uint8)
+v = ((128 + 40 * np.cos(yyc / 6.0)).astype(np.int32) % 256).astype(np.uint8)
+qts = [jnp.asarray(np.asarray(scalar.plane_qtable(i, 50), np.float32))
+       for i in range(3)]
+
+_, hy_loc = ss._slab_geometry(h, w, n)
+_, hc_loc = ss._slab_geometry(h // 2, w // 2, n)
+compress, decompress = ss._sharded_codec(
+    mesh, "exact", 8, hc_loc, w // 2, hy_loc, w)
+sh = NamedSharding(mesh, P(ss.AXES, None))
+args = [jax.device_put(jnp.asarray(ss._pad_rows(p, 8 * n)), sh)
+        for p in (y, u, v)]
 
 def step():
-    c4, sizes, rows, ok = compress(bdev, qt)
-    pix, dok = decompress(c4, sizes, qt)
-    return pix
+    A, C, sizes, ok = compress(*args, *qts)
+    ry, ru, rv, dok = decompress(A, C, sizes, *qts)
+    return ry
 
 jax.block_until_ready(step())
 reps = 8
@@ -61,11 +74,12 @@ for _ in range(reps):
     r = step()
 jax.block_until_ready(r)
 dt = (time.perf_counter() - t0) / reps
-print(json.dumps({"n": n, "step_s": dt}))
+print(json.dumps({"n": n, "step_s": dt,
+                  "blocks": (h // 8) * (w // 8) + 2 * (h // 16) * (w // 16)}))
 """
 
 
-def main() -> int:
+def _sweep(mode: str):
     points = []
     for n in (1, 2, 4, 8):
         env = dict(os.environ)
@@ -74,21 +88,29 @@ def main() -> int:
         env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n}"
         env.pop("PALLAS_AXON_POOL_IPS", None)
         out = subprocess.run(
-            [sys.executable, "-c", _WORKER, str(n)], env=env,
+            [sys.executable, "-c", _WORKER, str(n), mode], env=env,
             capture_output=True, text=True, timeout=600)
         if out.returncode != 0:
             print(out.stderr[-2000:], file=sys.stderr)
-            return 1
+            raise SystemExit(1)
         points.append(json.loads(out.stdout.strip().splitlines()[-1]))
-        print(f"n={n}: {points[-1]['step_s']*1e3:.1f} ms/step",
+        print(f"{mode} n={n}: {points[-1]['step_s']*1e3:.1f} ms/step",
               file=sys.stderr, flush=True)
     t1 = points[0]["step_s"]
+    b1 = points[0]["blocks"]
     for p in points:
-        p["speedup"] = round(t1 / p["step_s"], 3)
-        p["efficiency"] = round(t1 / p["step_s"] / p["n"], 3)
-    print(json.dumps({"metric": "sharded_codec_strong_scaling",
+        work = p["blocks"] / b1          # 1 for strong, ~n for weak
+        p["speedup"] = round(t1 / p["step_s"] * work, 3)
+        p["efficiency"] = round(t1 / p["step_s"] * work / p["n"], 3)
+    return points
+
+
+def main() -> int:
+    strong = _sweep("strong")
+    weak = _sweep("weak")
+    print(json.dumps({"metric": "sharded_codec_scaling",
                       "host_cores": os.cpu_count(),
-                      "points": points}))
+                      "strong": strong, "weak": weak}))
     return 0
 
 

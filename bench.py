@@ -169,6 +169,21 @@ def bench_device_4k(planes_np, qts, cont=None):
     return dt, int(total), np.asarray(ry)
 
 
+def bench_device_4k_fused(planes_np, qts):
+    """The single-executable transcode roundtrip (one device dispatch):
+    the RD-loop / quality-evaluation entry."""
+    import jax.numpy as jnp
+    from myyuv_tpu.engine import device_stream as ds
+
+    y, u, v = [jnp.asarray(p) for p in planes_np]
+    ry, ru, rv, total, ok = ds.roundtrip_frame(y, u, v, *qts)
+    _sync(ry)
+    if not bool(ok):
+        return None, None
+    dt = _time(lambda: ds.roundtrip_frame(y, u, v, *qts)[0])
+    return dt, np.asarray(ry)
+
+
 def bench_device_q90(planes_np):
     """4K q=90 roundtrip (BASELINE config 2): the roomy emission tier
     (cont=56 / cw=64 window geometry), bit-exact vs the scalar oracle."""
@@ -319,6 +334,9 @@ def bench_stages(planes_np, qts):
 
     ry, _, _ = stage_unpack(pixw)
     _sync(ry)
+    from myyuv_tpu.engine import device_stream as ds
+    cA, cC, sizes, _, _ = ds.compress_frame(y, u, v, *qts)
+    _sync(cA)
 
     reps = 3
     with tempfile.TemporaryDirectory() as td:
@@ -328,7 +346,11 @@ def bench_stages(planes_np, qts):
                 C, A, _, _ = stage_encode(xw)
                 pixw, _ = stage_decode(A, C)
                 ry, _, _ = stage_unpack(pixw)
+                cA, cC, sizes, _, _ = ds.compress_frame(y, u, v, *qts)
+                ryf, _, _, _ = ds.decompress_frame(cA, cC, sizes, *qts,
+                                                   h=h, w=w)
             _sync(ry)
+            _sync(ryf)
         pb = sorted(glob.glob(td + "/plugins/profile/*/*.xplane.pb"))[-1]
         spec = importlib.util.spec_from_file_location(
             "xplane_dump", str(REPO / "tools" / "xplane_dump.py"))
@@ -349,10 +371,17 @@ def bench_stages(planes_np, qts):
     for key, sub in (("pack", "stage_pack"),
                      ("dct_quantize_encode", "stage_encode"),
                      ("decode_idct", "stage_decode"),
-                     ("unpack", "stage_unpack")):
+                     ("unpack", "stage_unpack"),
+                     ("compress_module", "jit_compress_frame"),
+                     ("decompress_module", "jit_decompress_frame")):
         for mname, ms in mods.items():
             if sub in mname:
                 out[key] = round(ms, 3)
+    # roundtrips/s a direct-attached chip sustains (no tunnel execute
+    # latency): the sum of the two production modules' device times
+    if "compress_module" in out and "decompress_module" in out:
+        out["device_roundtrip_device_ms"] = round(
+            out["compress_module"] + out["decompress_module"], 3)
     return out
 
 
@@ -387,6 +416,19 @@ def main() -> int:
             f"({device_s*1e3:.1f} ms)")
     else:
         log("device on-chip path overflowed capacity (fell back)")
+
+    # --- fused single-executable roundtrip (transcode entry) --------------
+    fused_s = None
+    try:
+        fused_s, ry_fused = bench_device_4k_fused(planes_np, qts)
+        if fused_s is not None:
+            log(f"device fused-roundtrip executable: {1/fused_s:.2f} "
+                f"frames/s ({fused_s*1e3:.1f} ms)")
+            if ry_dev is not None:
+                assert np.array_equal(ry_fused, ry_dev), \
+                    "fused/two-call roundtrips disagree"
+    except Exception as e:
+        log("fused roundtrip bench failed:", e)
 
     # --- 4K q=90 roundtrip (BASELINE config 2) ----------------------------
     q90_s = q90_exact = None
@@ -467,6 +509,8 @@ def main() -> int:
         candidates["cpu"] = cpu_s
     if device_s is not None:
         candidates["device"] = device_s
+    if fused_s is not None:
+        candidates["device_fused"] = fused_s
     best = min(candidates, key=candidates.get)
     e2e_s = candidates[best]
     log(f"best end-to-end path: {best} at {1/e2e_s:.2f} frames/s")
@@ -518,6 +562,8 @@ def main() -> int:
         "best_path": best,
         "device_roundtrip_fps": (round(1 / device_s, 2)
                                  if device_s else None),
+        "device_fused_roundtrip_fps": (round(1 / fused_s, 2)
+                                       if fused_s else None),
         "device_q90_fps": (round(1 / q90_s, 2) if q90_s else None),
         "q90_bit_exact": q90_exact,
         "batched_1080p_fps": (round(1 / batch_s, 2) if batch_s else None),

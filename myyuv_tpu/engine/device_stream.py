@@ -656,6 +656,24 @@ def decompress_batch(contentA: jnp.ndarray, contentC: jnp.ndarray,
     return y, u, v, jnp.all(ok)
 
 
+@functools.partial(jax.jit, static_argnames=("precision", "cont"))
+def roundtrip_frame(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                    qt_y: jnp.ndarray, qt_u: jnp.ndarray,
+                    qt_v: jnp.ndarray, precision: str = "exact",
+                    cont: int = CONT_DEFAULT):
+    """Whole compress+decompress roundtrip as ONE executable ->
+    (ry, ru, rv, total bytes, ok) — the transcode/RD-loop entry
+    (quality evaluation runs exactly this shape), and one device
+    dispatch instead of two (each launch costs ~1.9 ms through a
+    tunneled/remote link)."""
+    h, w = y.shape
+    cA, cC, sizes, total, ok = compress_frame(
+        y, u, v, qt_y, qt_u, qt_v, precision=precision, cont=cont)
+    ry, ru, rv, dok = decompress_frame(
+        cA, cC, sizes, qt_y, qt_u, qt_v, h=h, w=w, precision=precision)
+    return ry, ru, rv, total, ok & dok
+
+
 def roundtrip_batch(y, u, v, qtables, precision: str = "exact"):
     """On-chip roundtrip of a [B, ...] frame batch; returns device arrays
     (recon planes, total compressed bytes, ok)."""

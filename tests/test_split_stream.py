@@ -99,6 +99,25 @@ def test_frame_split_nondivisible_blocks(rng):
     assert np.array_equal(np.asarray(ry), want)
 
 
+def test_roundtrip_frame_fused(rng):
+    """The single-executable transcode roundtrip equals the two-call
+    path's reconstruction."""
+    h, w = 64, 64
+    y, u, v = _frame(rng, h, w)
+    qts = eb.plane_qtables([50] * 3)
+    ry, ru, rv, total, ok = ds.roundtrip_frame(
+        jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *qts,
+        cont=ds.CONT_ROOMY)
+    assert bool(ok)
+    from myyuv_tpu.kernels import scalar
+    qt = scalar.plane_qtable(0, 50)
+    want = scalar.blocks_to_plane(
+        scalar.dequantize_idct_blocks(
+            scalar.dct_quantize_blocks(
+                scalar.plane_to_blocks(y), qt), qt), h, w)
+    assert np.array_equal(np.asarray(ry), want)
+
+
 def test_capacity_overflow_flags_ok_false(rng):
     """The default 64-byte emission tier overflows on a high-entropy
     frame (chunks >64 B flip ok; callers retry with CONT_ROOMY)."""

@@ -230,29 +230,24 @@ def _compress_words_packed(y, u, v, qt_y, qt_u, qt_v, b: int, h: int,
     ny = (h // 8) * (w // 8)
     nc = (h // 16) * (w // 16)
     n = b * (ny + 2 * nc)
-    if b == 1:
-        parts = [p8.pack_pixel_words(p) for p in (y, u, v)]
-    else:
-        yw = p8.pack_pixel_words(y.reshape(b * h, w))
-        uw = p8.pack_pixel_words(u.reshape(b * (h // 2), w // 2))
-        vw = p8.pack_pixel_words(v.reshape(b * (h // 2), w // 2))
-        ny8, nc8 = ny // 8, nc // 8
-        parts = []
-        for f in range(b):
-            parts += [yw[:, f * ny8:(f + 1) * ny8],
-                      uw[:, f * nc8:(f + 1) * nc8],
-                      vw[:, f * nc8:(f + 1) * nc8]]
+    # PLANE-MAJOR block order across the batch ([all Y | all U | all V],
+    # frames contiguous within each plane region): each plane stack
+    # packs as one tall plane — no per-frame slicing (the frame-major
+    # interleave cost ~2 ms/frame of extra relayout at B=4 4K)
+    parts = [p8.pack_pixel_words(y.reshape(b * h, w)),
+             p8.pack_pixel_words(u.reshape(b * (h // 2), w // 2)),
+             p8.pack_pixel_words(v.reshape(b * (h // 2), w // 2))]
     xw = jnp.concatenate(parts, axis=1)
     padc = (-(n // 8)) % p8.TILE
     if padc:
         xw = jnp.concatenate(
             [xw, jnp.zeros((128, padc), jnp.int32)], axis=1)
     qtx = p8.expand_qtables((qt_y, qt_u, qt_v))
-    pat = np.concatenate([
-        np.zeros(ny // 8, np.int32), np.ones(nc // 8, np.int32),
-        np.full(nc // 8, 2, np.int32)])
-    pids = jnp.asarray(np.concatenate(
-        [np.tile(pat, b), np.zeros(padc, np.int32)])[None])
+    pids = jnp.asarray(np.concatenate([
+        np.zeros(b * ny // 8, np.int32),
+        np.ones(b * nc // 8, np.int32),
+        np.full(b * nc // 8, 2, np.int32),
+        np.zeros(padc, np.int32)])[None])
     # ONE fused kernel does DCT+quantize+Huffman-encode: the coefficient
     # pairs live only in VMEM (the unfused hop moved 36 MB/4K frame
     # through HBM), pad lane columns encode as ignorable valid chunks,
@@ -488,34 +483,28 @@ def _decode_idct_packed(W0, Wc, qt_y, qt_u, qt_v, ny: int, nc: int,
     coefficient canvas lives only in VMEM; the kernel emits pixel QUAD
     WORDS [128, NTP], 4 px/i32), so the only relayout in the whole
     decompress is the final word->plane move at information density.
-    Requires ny, nc divisible by 8 (plane-pure lane columns)."""
+    PLANE-MAJOR block order ([all Y | all U | all V], frames contiguous
+    within each region). Requires ny, nc divisible by 8."""
     from ..entropy import pallas_decode8 as pd8
     from ..kernels import pallas_dct8 as p8
     n = b * (ny + 2 * nc)
     qtx = p8.expand_qtables((qt_y, qt_u, qt_v))
-    pat = np.concatenate([
-        np.zeros(ny // 8, np.int32), np.ones(nc // 8, np.int32),
-        np.full(nc // 8, 2, np.int32)])
+    by8 = b * ny // 8
+    bc8 = b * nc // 8
     pids = jnp.asarray(np.concatenate(
-        [np.tile(pat, b),
+        [np.zeros(by8, np.int32), np.ones(bc8, np.int32),
+         np.full(bc8, 2, np.int32),
          np.zeros(W0.shape[1] - n // 8, np.int32)])[None])
     pixw, ok = pd8.decode_idct_words8_split(W0, Wc, qtx, pids)
-    nf8 = (ny + 2 * nc) // 8
-    segs = {0: [], 1: [], 2: []}
-    for f in range(b):
-        base = f * nf8
-        segs[0].append(pixw[:, base:base + ny // 8])
-        segs[1].append(pixw[:, base + ny // 8:base + (ny + nc) // 8])
-        segs[2].append(pixw[:, base + (ny + nc) // 8:base + nf8])
-    cat = [s[0] if b == 1 else jnp.concatenate(s, axis=1)
-           for s in (segs[0], segs[1], segs[2])]
-    y = p8.unpack_pixel_words(cat[0], b * h, w).reshape(-1, h, w)
-    u = p8.unpack_pixel_words(cat[1], b * (h // 2), w // 2).reshape(
-        -1, h // 2, w // 2)
-    v = p8.unpack_pixel_words(cat[2], b * (h // 2), w // 2).reshape(
-        -1, h // 2, w // 2)
-    if b == 1:
-        y, u, v = y[0], u[0], v[0]
+    y = p8.unpack_pixel_words(pixw[:, :by8], b * h, w)
+    u = p8.unpack_pixel_words(pixw[:, by8:by8 + bc8],
+                              b * (h // 2), w // 2)
+    v = p8.unpack_pixel_words(pixw[:, by8 + bc8:by8 + 2 * bc8],
+                              b * (h // 2), w // 2)
+    if b > 1:
+        y = y.reshape(b, h, w)
+        u = u.reshape(b, h // 2, w // 2)
+        v = v.reshape(b, h // 2, w // 2)
     return y, u, v, ok[:n]
 
 
@@ -590,9 +579,10 @@ def decompress_frame(contentA: jnp.ndarray, contentC: jnp.ndarray,
 # TPU-native story is a batch axis: B frames' blocks concatenate into one
 # block tensor so dispatch, layout changes and kernel launches amortize
 # across the batch (BASELINE.json config 3: batched synthetic 1080p).
-# Block order is frame-major, per frame Y then U then V, so every frame's
-# chunks stay contiguous in the stream and the host can split per-frame
-# files with plain slicing.
+# Block order is PLANE-MAJOR across the batch ([all Y | all U | all V],
+# frames contiguous within each plane region): each plane stack packs as
+# one tall plane with zero per-frame slicing; batch_streams_split maps
+# (frame, plane) segments with plain index arithmetic.
 
 
 @functools.partial(jax.jit, static_argnames=("precision", "cont"))
@@ -614,11 +604,8 @@ def compress_batch(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     cy = _fwd_transform(by.reshape(b * ny, 64), qt_y, precision)
     cu = _fwd_transform(bu.reshape(b * nc, 64), qt_u, precision)
     cv = _fwd_transform(bv.reshape(b * nc, 64), qt_v, precision)
-    # interleave back to frame-major [Y | U | V] per frame
-    coeffs = jnp.concatenate([cy.reshape(b, ny, 64),
-                              cu.reshape(b, nc, 64),
-                              cv.reshape(b, nc, 64)],
-                             axis=1).reshape(-1, 64)
+    # plane-major block order, matching the packed route
+    coeffs = jnp.concatenate([cy, cu, cv])
     words, aT, sizes, ok = _encode_words_dispatch(coeffs)
     return _dense_from_words(words, aT, sizes, jnp.all(ok), cont)
 
@@ -644,12 +631,10 @@ def decompress_batch(contentA: jnp.ndarray, contentC: jnp.ndarray,
         return y, u, v, jnp.all(ok & (sizes_r <= cw // ALIGN_W))
     coeffs, ok = _decode_words8_dispatch(W0, Wc, b * (ny + 2 * nc))
     ok = ok & (sizes_r <= cw // ALIGN_W)
-    cf = coeffs.reshape(b, ny + 2 * nc, 64)
-    py = _inv_transform(cf[:, :ny].reshape(b * ny, 64), qt_y, precision)
-    pu = _inv_transform(cf[:, ny:ny + nc].reshape(b * nc, 64), qt_u,
-                        precision)
-    pv = _inv_transform(cf[:, ny + nc:].reshape(b * nc, 64), qt_v,
-                        precision)
+    # plane-major block order, matching the packed route
+    py = _inv_transform(coeffs[:b * ny], qt_y, precision)
+    pu = _inv_transform(coeffs[b * ny:b * (ny + nc)], qt_u, precision)
+    pv = _inv_transform(coeffs[b * (ny + nc):], qt_v, precision)
     y = kdev.blocks_to_plane(py.reshape(b, ny, 8, 8), h, w)
     u = kdev.blocks_to_plane(pu.reshape(b, nc, 8, 8), h // 2, w // 2)
     v = kdev.blocks_to_plane(pv.reshape(b, nc, 8, 8), h // 2, w // 2)
@@ -687,16 +672,22 @@ def roundtrip_batch(y, u, v, qtables, precision: str = "exact"):
 
 def batch_streams_split(sizes_np: np.ndarray, packed: np.ndarray,
                         b: int, ny: int, nc: int):
-    """Split a batch's packed bytes into per-frame [(sizes, content) x3]."""
-    frames = []
-    nf = ny + 2 * nc
+    """Split a batch's packed bytes into per-frame [(sizes, content) x3].
+
+    Batch block order is PLANE-MAJOR ([all Y | all U | all V], frames
+    contiguous within each plane region)."""
     boffs = np.cumsum(sizes_np.astype(np.int64)) - sizes_np
-    for f in range(b):
-        lo = f * nf
-        fs = sizes_np[lo: lo + nf]
-        base = int(boffs[lo])
-        content = packed[base: base + int(fs.astype(np.int64).sum())]
-        frames.append(_split_planes(fs, content, ny, nc))
+    frames = [[] for _ in range(b)]
+    pbase = 0
+    for npl in (ny, nc, nc):
+        for f in range(b):
+            lo = pbase + f * npl
+            s = sizes_np[lo:lo + npl]
+            base = int(boffs[lo])
+            frames[f].append(
+                (s.astype(np.uint8),
+                 packed[base:base + int(s.astype(np.int64).sum())]))
+        pbase += b * npl
     return frames
 
 

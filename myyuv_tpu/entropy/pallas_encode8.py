@@ -429,9 +429,11 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref):
         return fC, fA, size, ok
 
     fC, fA, size, ok = jax.lax.cond(
-        nmax <= 16, lambda: tail(16),
-        lambda: jax.lax.cond(nmax <= 32, lambda: tail(32),
-                             lambda: tail(64)))
+        nmax <= 8, lambda: tail(8),
+        lambda: jax.lax.cond(
+            nmax <= 16, lambda: tail(16),
+            lambda: jax.lax.cond(nmax <= 32, lambda: tail(32),
+                                 lambda: tail(64))))
     words_ref[...] = fC
     a_ref[...] = fA
     size_ref[...] = size

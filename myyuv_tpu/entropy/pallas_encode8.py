@@ -126,11 +126,16 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref):
     verbatim), a [64, TP] i32 (rows 8w + r: the packed decoder's W0
     window layout, directly consumable), size [8, TP], ok [8, TP].
 
-    ``scr_ref`` is [2048, TP] VMEM scratch: row groups 0..63 hold the
-    per-step record tables (canonical LUT, then tree records), groups
-    64..127 the payload quads, groups 192..255 the interior node depths.
+    ``scr_ref`` is [2048, TP] VMEM scratch: rows 0..511 the canonical
+    LUT records, 512..1023 the payload quads (values + lengths),
+    1024..1535 the tree records, 1536..2047 the interior node depths.
     Sequential loops read them back through UNIFORM dynamic row slices
-    (``ref[pl.ds(8*c, 8)]``) — O(1) vector work per step."""
+    (``ref[pl.ds(8*c, 8)]``) — O(1) vector work per step.
+
+    Tier structure: the front (value sort) and the LUT/payload section
+    specialize on the tile-max MESSAGE length (16/32/64), the tree
+    construction on the tile-max DISTINCT-symbol count (8/16/32/64),
+    and the serialization machine is shared across every tier."""
     cont = words_ref.shape[0] // 8
     tp = pw.shape[1]
     lo = (pw << 16) >> 16                             # messages 2p
@@ -287,33 +292,14 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref):
             s <<= 1
         code_c = (incl - kraft) >> (8 - lc)           # exclusive prefix
 
-        # ---- per-message-position (len, code) lookup --------------------
+        # ---- per-message-position (len, code) lookup records -------------
         # one packed record per canonical row: (len << 20 | code << 12)
         # selects as a unit, and bit 11 of the key marks live rows so
         # dead rows (len 0, sym 0) can never match a real 0 symbol —
-        # 2 compares + 2 selects per row instead of 4 + 4 (+ live mask)
+        # the msg_lut cond below scans them at MESSAGE-height tiers
         canrec = (jnp.clip(len_c, 0, 15) << 20) | ((code_c & 0xFF) << 12) \
             | (in_rows.astype(I32) << 11) | (sym_c & 0x7FF)
         scr_ref[0:R, :] = canrec
-        lo12 = lo11 | 0x800
-        hi12 = hi11 | 0x800
-
-        def lut_body(c, carry):
-            lc_l, lc_h = carry
-            rec32 = _tile_g(scr_ref[pl.ds(8 * c, 8), :], 32)
-            key32 = rec32 & 0xFFF
-            lc32 = rec32 >> 12
-            lc_l = jnp.where(lo12 == key32, lc32, lc_l)
-            lc_h = jnp.where(hi12 == key32, lc32, lc_h)
-            return lc_l, lc_h
-
-        z256 = jnp.zeros((256, tp), I32)
-        lc_l, lc_h = jax.lax.fori_loop(0, nmax, lut_body, (z256, z256))
-        pl_l, pc_l = lc_l >> 8, lc_l & 0xFF
-        pl_h, pc_h = lc_h >> 8, lc_h & 0xFF
-        l0 = jnp.where(vlo, pl_l, 0)
-        l1 = jnp.where(vhi, pl_h, 0)
-        enc_bits = _fold_sum(l0 + l1)                 # [8, TP]
 
         # ---- group structure over canonical rows (Huffman.cpp:300-316) --
         prev_len = _sd8(len_c, 1) + jnp.where(ig == 0, -1, 0)
@@ -337,103 +323,139 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref):
         gcnt = jnp.minimum(nxt, ig + 32) - ig         # valid at grp_start
         grp_bytes = jnp.where(grp_start, 1 + (gcnt * 11 + 7) // 8, 0)
         tree_size = _fold_sum(grp_bytes)
-        size = 3 + tree_size + (enc_bits + 7) // 8
-        ok = ok & (size <= 255).astype(I32)
 
+        # tree records land at scr rows 1024.. (canrec keeps 0..R for
+        # the message-height-tiered LUT cond that runs after this one)
         tree_rec = (grp_start.astype(I32) << 28) \
             | (in_rows.astype(I32) << 27) \
             | (jnp.clip(gcnt, 0, 63) << 21) | (lc << 17) | (sym_c & 0x7FF)
-        scr_ref[0:R, :] = tree_rec
+        scr_ref[1024:1024 + R, :] = tree_rec
+        return tree_size, ok
 
-        # payload QUADS (4 codes per append step): groups 64..127
-        c0 = jnp.where(vlo, pc_l, 0) & 0xFF
-        c1 = jnp.where(vhi, pc_h, 0) & 0xFF
-        pair_rec = ((l0 + l1) << 16) | ((_shl(c0, l1) | c1) & 0xFFFF)
-        q2 = _su8(pair_rec, 1)                        # next pair group
-        scr_ref[512:768, :] = _shl(pair_rec & 0xFFFF, q2 >> 16) \
-            | (q2 & 0xFFFF)
-        scr_ref[768:1024, :] = (pair_rec >> 16) + (q2 >> 16)
-
-        # ---- serialization: sequential bit-append machine ---------------
-        # Stream space matches the decoder's (bit-reversed bytes packed
-        # big-endian, each word filled MSB-down). Per-block state is one
-        # dense [8, TP] vreg; spills blend into the A file (rows 8w + r =
-        # the decoder's W0 layout) or the continuation file (same rows
-        # 8w + r layout = the decoder's Wc region, consumed verbatim).
-        iota_aw = jax.lax.broadcasted_iota(I32, (64, tp), 0) >> 3
-        iota_cw = jax.lax.broadcasted_iota(I32, (8 * cont, tp), 0) >> 3
-
-        def append(state, v, L):
-            """Append the L-bit value v (MSB-first in stream space);
-            L may be 0 (no-op) and varies per block."""
-            W0, nb, wi, fA, fC = state
-            v = jnp.where(L > 0, v, 0)
-            sh = 32 - nb - L
-            W0 = W0 | jnp.where(sh >= 0, _shl(v, jnp.maximum(sh, 0)),
-                                _shr_l(v, jnp.maximum(-sh, 0)))
-            newnb = nb + L
-            spill = newnb >= 32
-            wA = jnp.where(spill & (wi < 8), wi, -1)
-            fA = jnp.where(iota_aw == _tile_g(wA, 8), _tile_g(W0, 8), fA)
-            wC = jnp.where(spill & (wi >= 8), wi - 8, -1)
-            fC = jnp.where(iota_cw == _tile_g(wC, cont),
-                           _tile_g(W0, cont), fC)
-            W0 = jnp.where(spill, _shl(v, 64 - newnb), W0)
-            wi = wi + spill.astype(I32)
-            nb = jnp.where(spill, newnb - 32, newnb)
-            return W0, nb, wi, fA, fC
-
-        st = (z8, z8, z8, jnp.zeros((64, tp), I32),
-              jnp.zeros((8 * cont, tp), I32))
-        # 3-byte header as ONE 24-bit append (same bit sequence)
-        hdr24 = (_bitrev8(enc_bits & 0xFF) << 16) \
-            | (_bitrev8(_shr_l(enc_bits, 8) & 0xFF) << 8) \
-            | _bitrev8(tree_size & 0xFF)
-        st = append(st, hdr24, jnp.full((8, tp), 24, I32))
-
-        def tree_body(c, st):
-            # one fused append per canonical row: [pad][group hdr][sym]
-            rec = scr_ref[pl.ds(8 * c, 8), :]
-            g_start = (rec >> 28) & 1
-            in_r = (rec >> 27) & 1
-            gc = (rec >> 21) & 63
-            ln = (rec >> 17) & 15
-            v11 = rec & 0x7FF
-            nb = st[1]
-            pad = (8 - (nb & 7)) & 7
-            hdr = _bitrev8(((ln - 1) << 5) | (gc - 1))
-            v = jnp.where(in_r > 0, _bitrev11(v11), 0)
-            v = v | jnp.where(g_start > 0, hdr << (in_r * 11), 0)
-            L = g_start * (pad + 8) + in_r * 11
-            return append(st, v, L)
-
-        st = jax.lax.fori_loop(0, nmax, tree_body, st)
-        # close the last group to its byte boundary
-        W0, nb, wi, fA, fC = st
-        st = append((W0, nb, wi, fA, fC), z8, (8 - (nb & 7)) & 7)
-
-        def pay_body(p, st):
-            v = scr_ref[pl.ds(512 + 16 * p, 8), :]
-            L = scr_ref[pl.ds(768 + 16 * p, 8), :]
-            return append(st, v, L)
-
-        st = jax.lax.fori_loop(0, (mlenmax + 3) // 4, pay_body, st)
-        W0, nb, wi, fA, fC = st
-        # final flush of the partial word
-        wA = jnp.where(wi < 8, wi, -1)
-        fA = jnp.where(iota_aw == _tile_g(wA, 8), _tile_g(W0, 8), fA)
-        wC = jnp.where(wi >= 8, wi - 8, -1)
-        fC = jnp.where(iota_cw == _tile_g(wC, cont),
-                       _tile_g(W0, cont), fC)
-        ok = ok & (size <= 4 * (8 + cont)).astype(I32)
-        return fC, fA, size, ok
-
-    fC, fA, size, ok = jax.lax.cond(
+    # nmax-tiered tree construction (merge/depths/canonical/groups)
+    tree_size, ok = jax.lax.cond(
         nmax <= 8, lambda: tail(8),
         lambda: jax.lax.cond(
             nmax <= 16, lambda: tail(16),
             lambda: jax.lax.cond(nmax <= 32, lambda: tail(32),
                                  lambda: tail(64))))
+
+    # ---- per-message-position (len, code) lookup ------------------------
+    # scans the canonical records against the messages at MESSAGE-height
+    # tiers (positions past mlenmax are dead for the whole tile), and
+    # writes the payload QUADS (4 codes per append step) to scr 512..
+    lo12 = lo11 | 0x800
+    hi12 = hi11 | 0x800
+
+    def msg_lut(mrows):
+        mR = 4 * mrows                     # live pair rows
+        lo12m = lo12[:mR]
+        hi12m = hi12[:mR]
+
+        def lut_body(c, carry):
+            lc_l, lc_h = carry
+            rec = _tile_g(scr_ref[pl.ds(8 * c, 8), :], mrows // 2)
+            key = rec & 0xFFF
+            lc = rec >> 12
+            lc_l = jnp.where(lo12m == key, lc, lc_l)
+            lc_h = jnp.where(hi12m == key, lc, lc_h)
+            return lc_l, lc_h
+
+        zm = jnp.zeros((mR, tp), I32)
+        lc_l, lc_h = jax.lax.fori_loop(0, nmax, lut_body, (zm, zm))
+        l0 = jnp.where(vlo[:mR], lc_l >> 8, 0)
+        l1 = jnp.where(vhi[:mR], lc_h >> 8, 0)
+        enc_bits = _fold_sum(l0 + l1)                 # [8, TP]
+        c0 = jnp.where(vlo[:mR], lc_l, 0) & 0xFF
+        c1 = jnp.where(vhi[:mR], lc_h, 0) & 0xFF
+        pair_rec = ((l0 + l1) << 16) | ((_shl(c0, l1) | c1) & 0xFFFF)
+        q2 = _su8(pair_rec, 1)                        # next pair group
+        scr_ref[512:512 + mR, :] = _shl(pair_rec & 0xFFFF, q2 >> 16) \
+            | (q2 & 0xFFFF)
+        scr_ref[768:768 + mR, :] = (pair_rec >> 16) + (q2 >> 16)
+        return enc_bits
+
+    enc_bits = jax.lax.cond(
+        mlenmax <= 16, lambda: msg_lut(16),
+        lambda: jax.lax.cond(mlenmax <= 32, lambda: msg_lut(32),
+                             lambda: msg_lut(64)))
+
+    size = 3 + tree_size + (enc_bits + 7) // 8
+    ok = ok & (size <= 255).astype(I32) \
+        & (size <= 4 * (8 + cont)).astype(I32)
+
+    # ---- serialization: sequential bit-append machine (shared across
+    # every tier — reads records back through uniform scr rows) ----------
+    # Stream space matches the decoder's (bit-reversed bytes packed
+    # big-endian, each word filled MSB-down). Per-block state is one
+    # dense [8, TP] vreg; spills blend into the A file (rows 8w + r =
+    # the decoder's W0 layout) or the continuation file (same rows
+    # 8w + r layout = the decoder's Wc region, consumed verbatim).
+    iota_aw = jax.lax.broadcasted_iota(I32, (64, tp), 0) >> 3
+    iota_cw = jax.lax.broadcasted_iota(I32, (8 * cont, tp), 0) >> 3
+
+    def append(state, v, L):
+        """Append the L-bit value v (MSB-first in stream space);
+        L may be 0 (no-op) and varies per block."""
+        W0, nb, wi, fA, fC = state
+        v = jnp.where(L > 0, v, 0)
+        sh = 32 - nb - L
+        W0 = W0 | jnp.where(sh >= 0, _shl(v, jnp.maximum(sh, 0)),
+                            _shr_l(v, jnp.maximum(-sh, 0)))
+        newnb = nb + L
+        spill = newnb >= 32
+        wA = jnp.where(spill & (wi < 8), wi, -1)
+        fA = jnp.where(iota_aw == _tile_g(wA, 8), _tile_g(W0, 8), fA)
+        wC = jnp.where(spill & (wi >= 8), wi - 8, -1)
+        fC = jnp.where(iota_cw == _tile_g(wC, cont),
+                       _tile_g(W0, cont), fC)
+        W0 = jnp.where(spill, _shl(v, 64 - newnb), W0)
+        wi = wi + spill.astype(I32)
+        nb = jnp.where(spill, newnb - 32, newnb)
+        return W0, nb, wi, fA, fC
+
+    st = (z8, z8, z8, jnp.zeros((64, tp), I32),
+          jnp.zeros((8 * cont, tp), I32))
+    # 3-byte header as ONE 24-bit append (same bit sequence)
+    hdr24 = (_bitrev8(enc_bits & 0xFF) << 16) \
+        | (_bitrev8(_shr_l(enc_bits, 8) & 0xFF) << 8) \
+        | _bitrev8(tree_size & 0xFF)
+    st = append(st, hdr24, jnp.full((8, tp), 24, I32))
+
+    def tree_body(c, st):
+        # one fused append per canonical row: [pad][group hdr][sym]
+        rec = scr_ref[pl.ds(1024 + 8 * c, 8), :]
+        g_start = (rec >> 28) & 1
+        in_r = (rec >> 27) & 1
+        gc = (rec >> 21) & 63
+        ln = (rec >> 17) & 15
+        v11 = rec & 0x7FF
+        nb = st[1]
+        pad = (8 - (nb & 7)) & 7
+        hdr = _bitrev8(((ln - 1) << 5) | (gc - 1))
+        v = jnp.where(in_r > 0, _bitrev11(v11), 0)
+        v = v | jnp.where(g_start > 0, hdr << (in_r * 11), 0)
+        L = g_start * (pad + 8) + in_r * 11
+        return append(st, v, L)
+
+    st = jax.lax.fori_loop(0, nmax, tree_body, st)
+    # close the last group to its byte boundary
+    W0, nb, wi, fA, fC = st
+    st = append((W0, nb, wi, fA, fC), z8, (8 - (nb & 7)) & 7)
+
+    def pay_body(p, st):
+        v = scr_ref[pl.ds(512 + 16 * p, 8), :]
+        L = scr_ref[pl.ds(768 + 16 * p, 8), :]
+        return append(st, v, L)
+
+    st = jax.lax.fori_loop(0, (mlenmax + 3) // 4, pay_body, st)
+    W0, nb, wi, fA, fC = st
+    # final flush of the partial word
+    wA = jnp.where(wi < 8, wi, -1)
+    fA = jnp.where(iota_aw == _tile_g(wA, 8), _tile_g(W0, 8), fA)
+    wC = jnp.where(wi >= 8, wi - 8, -1)
+    fC = jnp.where(iota_cw == _tile_g(wC, cont),
+                   _tile_g(W0, cont), fC)
     words_ref[...] = fC
     a_ref[...] = fA
     size_ref[...] = size

@@ -185,14 +185,19 @@ def bench_device_4k_fused(planes_np, qts):
 
 
 def bench_device_q90(planes_np):
-    """4K q=90 roundtrip (BASELINE config 2): the roomy emission tier
-    (cont=56 / cw=64 window geometry), bit-exact vs the scalar oracle."""
+    """4K q=90 roundtrip (BASELINE config 2): the 128-byte emission tier
+    (cont=24 / cw=32 window geometry; roomy fallback), bit-exact vs the
+    scalar oracle."""
     from myyuv_tpu.engine import batch as eb
     from myyuv_tpu.engine import device_stream as ds
     from myyuv_tpu.kernels import scalar
 
     qts90 = eb.plane_qtables([90] * 3)
-    dt, total, ry = bench_device_4k(planes_np, qts90, cont=ds.CONT_ROOMY)
+    dt = None
+    for cont in (ds.CONT_MID, ds.CONT_ROOMY):
+        dt, total, ry = bench_device_4k(planes_np, qts90, cont=cont)
+        if dt is not None:
+            break
     if dt is None:
         return None, None, False
     qt = scalar.plane_qtable(0, 90)

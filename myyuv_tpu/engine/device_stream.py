@@ -62,10 +62,13 @@ CAPR8_ROOMY = 24                # 3 rows: the per-block-cap worst case
 # = word w of block 8c + r) — free register-file outputs of the Pallas
 # encoder that the decode kernels consume verbatim. ``cont`` is the
 # encoder's static continuation-word tier: 8 (64-byte chunks, covers
-# every stream up to roughly q85) or 56 (the 255-byte format maximum).
+# the golden content through q70), 24 (128 B — covers q100 on the
+# golden 4K frame, max chunk 118 B, with HALF the decode window-refill
+# scan of the roomy tier) or 56 (the 255-byte format maximum).
 CONT_DEFAULT = 8
+CONT_MID = 24
 CONT_ROOMY = 56
-CONT_LADDER = (CONT_DEFAULT, CONT_ROOMY)
+CONT_LADDER = (CONT_DEFAULT, CONT_MID, CONT_ROOMY)
 
 # HOST-PULL compaction of region C (the d2h tunnel must not carry the
 # dense C): live continuation rows gathered back to back in block
@@ -918,8 +921,8 @@ def decompress_streams_to_frame(streams, qtables_np, h: int, w: int,
     from .. import native
     sizes_np = np.concatenate([s.astype(np.int32) for s, _ in streams])
     content_np = np.concatenate([c for _, c in streams])
-    cont = CONT_DEFAULT if int(sizes_np.max(initial=0)) \
-        <= 4 * (8 + CONT_DEFAULT) else CONT_ROOMY
+    maxsz = int(sizes_np.max(initial=0))
+    cont = next(t for t in CONT_LADDER if maxsz <= 4 * (8 + t))
     aT_np, b_np = native.expand_split(content_np, sizes_np)
     c_np = _dense_c_np(b_np, sizes_np, cont)
     y, u, v, ok = decompress_frame(

@@ -59,9 +59,9 @@ def compress_dct(img: yuv.YUVImage, params: bytes,
         from . import device_stream
         try:
             # quality picks the emission tier up front: q >= 85 streams
-            # carry >64 B chunks, so starting at the roomy tier skips the
-            # default-tier attempt (and its compile) entirely
-            cont0 = (device_stream.CONT_ROOMY
+            # carry >64 B chunks, so starting at the 128-byte tier skips
+            # the default-tier attempt (and its compile) entirely
+            cont0 = (device_stream.CONT_MID
                      if int(qualities.max()) >= 85 else None)
             streams = [
                 dct_stream.DCTPlaneStream(

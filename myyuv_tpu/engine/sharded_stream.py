@@ -289,8 +289,7 @@ def decompress_frame_sharded(mesh, streams, qtables_np, h: int, w: int,
     n_loc = ny_loc + 2 * nc_loc
     filler = _zero_block_chunk()
     maxsz = max(int(s.astype(np.int64).max(initial=0)) for s, _ in streams)
-    cont = ds.CONT_DEFAULT if maxsz <= 4 * (8 + ds.CONT_DEFAULT) \
-        else ds.CONT_ROOMY
+    cont = next(t for t in ds.CONT_LADDER if maxsz <= 4 * (8 + t))
     # per-device (sizes, content) in local Y|U|V order, padded planes
     plane_meta = [(0, ny_loc, ny), (1, nc_loc, nc), (2, nc_loc, nc)]
     offs = [np.cumsum(s.astype(np.int64)) - s for s, _ in streams]

@@ -99,6 +99,33 @@ def test_frame_split_nondivisible_blocks(rng):
     assert np.array_equal(np.asarray(ry), want)
 
 
+def test_mid_tier_roundtrip(rng):
+    """The 128-byte (cont=24 / cw=32) middle tier round-trips exactly;
+    it is the production tier for q ~85-100 content (golden 4K q100 max
+    chunk = 118 B)."""
+    h, w = 64, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (128 + 60 * np.sin(xx / 9.0) * np.cos(yy / 7.0)).astype(np.uint8)
+    y = (base + rng.integers(0, 16, (h, w), np.uint8)).astype(np.uint8)
+    u = y[:h // 2, :w // 2]
+    v = y[h // 2:, :w // 2]
+    qts = eb.plane_qtables([90] * 3)
+    cA, cC, sizes, total, ok = ds.compress_frame(
+        jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *qts,
+        cont=ds.CONT_MID)
+    assert bool(ok), "mid tier must cover q90 smooth content"
+    assert cC.shape[0] == ds.CONT_MID * 8
+    ry, ru, rv, dok = ds.decompress_frame(cA, cC, sizes, *qts, h=h, w=w)
+    assert bool(dok)
+    from myyuv_tpu.kernels import scalar
+    qt = scalar.plane_qtable(0, 90)
+    want = scalar.blocks_to_plane(
+        scalar.dequantize_idct_blocks(
+            scalar.dct_quantize_blocks(
+                scalar.plane_to_blocks(y), qt), qt), h, w)
+    assert np.array_equal(np.asarray(ry), want)
+
+
 def test_roundtrip_frame_fused(rng):
     """The single-executable transcode roundtrip equals the two-call
     path's reconstruction."""

@@ -4,10 +4,10 @@ The end-to-end TPU path: pixels go up once, compressed bytes come down —
 nothing else crosses the host<->device link (which is a narrow tunnel on
 single-chip dev boxes and a PCIe/DCN hop in production):
 
-  compress:   plane u8 --h2d--> [DCT+quant] -> [Huffman encode] ->
-              [split-stream compaction] --d2h--> (sizes, A, B)
-  decompress: (sizes, A, B) --h2d--> [window rebuild] -> [Huffman
-              decode] -> [dequant+IDCT] -> plane u8 (stays on device
+  compress:   plane u8 --h2d--> [pack] -> [fused DCT+quant+Huffman
+              encode] -> (A, C, sizes); host pulls [compact] --d2h-->
+  decompress: (sizes, A, C) --h2d--> [fused Huffman decode +
+              dequant+IDCT] -> [unpack] -> plane u8 (stays on device
               for metrics, or one d2h for file output)
 
 The ragged<->dense conversions are the device analogs of
@@ -22,7 +22,7 @@ frame in round 2). The ragged<->dense index work survives only at the
 HOST boundary: ``_compact_split`` gathers the live continuation rows
 before a pull (the d2h tunnel must not carry the dense C), and
 expansion back to dense C happens in numpy before an upload. ``cont``
-(8 or 56 words) is the static emission tier: chunks beyond
+(8, 24 or 56 words) is the static emission tier: chunks beyond
 4*(8+cont) bytes flip ok and callers retry roomier or fall back to the
 host path (engine.pipeline with native entropy).
 """
@@ -452,31 +452,6 @@ def _expand_window(content4, sizes_r, cw: int):
     R4 = rows[idx]
     n = sizes_r.shape[0]
     return R4.transpose(0, 2, 1).reshape(cw, n)
-
-
-def _expand_window8(content4, sizes_r, cw: int):
-    """Interchange -> sublane-packed decode windows [cw*8, ceil(n/8)].
-
-    Same row gather as _expand_window but the final relayout emits the
-    packed-8 kernel layout (block c*8+r at sublane r, lane c) directly,
-    so the packed decoder costs no extra transpose over the flat one.
-    Short tails pad with the minimal valid all-zero-block chunk."""
-    from ..entropy.pallas_decode import _FILLER_W0
-
-    rows = content4.reshape(-1, ALIGN_W)
-    offs_r = jnp.cumsum(sizes_r) - sizes_r
-    jr = jnp.arange(cw // ALIGN_W, dtype=jnp.int32)[:, None]
-    idx = jnp.clip(offs_r[None, :] + jr, 0, rows.shape[0] - 1)
-    R4 = rows[idx]                  # unmasked: see _expand_window
-    n = sizes_r.shape[0]
-    pad = (-n) % 8
-    if pad:
-        fill = jnp.zeros((cw // ALIGN_W, pad, ALIGN_W), jnp.int32
-                         ).at[0, :, 0].set(_FILLER_W0)
-        R4 = jnp.concatenate([R4, fill], axis=1)
-    n8 = n + pad
-    return R4.reshape(cw // ALIGN_W, n8 // 8, 8, ALIGN_W).transpose(
-        0, 3, 2, 1).reshape(cw * 8, n8 // 8)
 
 
 def _decode_idct_packed(W0, Wc, qt_y, qt_u, qt_v, ny: int, nc: int,

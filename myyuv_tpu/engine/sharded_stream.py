@@ -368,6 +368,12 @@ def compress_batch_sharded(mesh, planes_np, qtables_np,
     Single-frame-at-a-time over the full mesh keeps the layout contract
     identical to compress_frame_sharded (bytes == single-device path);
     frames pipeline through the same executable.
+
+    Multi-process runs pass a PROCESS-LOCAL mesh (the devices of this
+    host): frames split across processes (local_shard), block rows
+    across the local mesh, and gather_streams assembles the global
+    per-frame streams on every host
+    (tests/test_distributed_multiprocess.py runs this for real).
     """
     from ..parallel import distributed
     y, u, v = [np.ascontiguousarray(p) for p in planes_np]

@@ -100,3 +100,99 @@ def test_two_process_gather_streams(tmp_path):
     sizes, content = entropy.encode_blocks(coeffs)
     assert outs[0]["n_blocks"] == sizes.size
     assert outs[0]["sha"] == hashlib.sha256(content.tobytes()).hexdigest()
+
+
+_WORKER_BATCH = r"""
+import hashlib, json, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+port, pid = sys.argv[1], int(sys.argv[2])
+from myyuv_tpu.parallel import distributed as dist
+dist.initialize(f"localhost:{port}", num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+
+from myyuv_tpu.engine import sharded_stream as ss
+from myyuv_tpu.kernels import scalar
+from myyuv_tpu.parallel import mesh as meshlib
+
+# frames are data-parallel ACROSS processes; within each process the
+# flagship codec shards block rows over the process-LOCAL mesh
+mesh = meshlib.make_mesh((len(jax.local_devices()), 1),
+                         jax.local_devices())
+
+h, w, b = 32, 64, 4
+yy, xx = np.mgrid[0:h, 0:w]
+base = (128 + 60 * np.sin(xx / 9.0) * np.cos(yy / 7.0)).astype(np.uint8)
+ys = np.stack([(base + f) for f in range(b)]).astype(np.uint8)
+us = np.stack([base[:h // 2, :w // 2] + f for f in range(b)]).astype(np.uint8)
+vs = np.stack([base[h // 2:, :w // 2] + f for f in range(b)]).astype(np.uint8)
+qts = [np.asarray(scalar.plane_qtable(i, 50), np.float32) for i in range(3)]
+
+frames = ss.compress_batch_sharded(mesh, (ys, us, vs), qts)
+blob = b"".join(bytes(c) + bytes(s) for streams in frames
+                for s, c in streams)
+print(json.dumps({
+    "pid": pid,
+    "n_frames": len(frames),
+    "sha": hashlib.sha256(blob).hexdigest(),
+}), flush=True)
+"""
+
+
+def test_two_process_sharded_batch(tmp_path):
+    """shard_batch -> sharded flagship compress -> gather_streams across
+    two real processes: both assemble identical per-frame streams that
+    match the host coder's."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = tmp_path / "worker_batch.py"
+    worker.write_text(_WORKER_BATCH)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:" + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(port), str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        text=True) for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=150)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed worker timed out")
+        assert p.returncode == 0, err[-2000:]
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    assert all(o["n_frames"] == 4 for o in outs)
+    assert outs[0]["sha"] == outs[1]["sha"]
+
+    # identical to the single-process host coder, frame by frame
+    import hashlib as hl
+    from myyuv_tpu import entropy
+    from myyuv_tpu.kernels import scalar
+    h, w, b = 32, 64, 4
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (128 + 60 * np.sin(xx / 9.0) * np.cos(yy / 7.0)).astype(np.uint8)
+    ys = np.stack([(base + f) for f in range(b)]).astype(np.uint8)
+    us = np.stack([base[:h // 2, :w // 2] + f
+                   for f in range(b)]).astype(np.uint8)
+    vs = np.stack([base[h // 2:, :w // 2] + f
+                   for f in range(b)]).astype(np.uint8)
+    qts = [np.asarray(scalar.plane_qtable(i, 50), np.float32)
+           for i in range(3)]
+    blob = b""
+    for f in range(b):
+        for p, plane in enumerate((ys[f], us[f], vs[f])):
+            co = scalar.dct_quantize_blocks(
+                scalar.plane_to_blocks(plane), qts[p])
+            sizes, content = entropy.encode_blocks(
+                co.reshape(-1, 64).astype(np.int16))
+            blob += bytes(content) + bytes(sizes.astype(np.uint8))
+    assert outs[0]["sha"] == hl.sha256(blob).hexdigest()

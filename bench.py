@@ -11,8 +11,8 @@ Paths measured (all bit-exact vs the compiled reference CLI):
             direction per geometry (engine/device_stream.compress_frame
             / decompress_frame); nothing crosses the host link.
   q90     — the same roundtrip at quality 90 (BASELINE config 2: the
-            cont=56 emission tier / cw=64 decode geometry), with its own
-            bit-exactness flag.
+            128-byte cont=24 emission tier / cw=32 decode geometry,
+            roomy fallback), with its own bit-exactness flag.
   batch   — the same on-chip codec over a B-frame 1080p batch
             (BASELINE.json config 3: batched synthetic 1080p frames),
             frames generated on device; reports frames/s over the

@@ -58,11 +58,12 @@ def compress_dct(img: yuv.YUVImage, params: bytes,
         # back to the host entropy stage instead of failing.
         from . import device_stream
         try:
-            # quality picks the emission tier up front: q >= 85 streams
+            # quality picks the emission tier up front: high-q streams
             # carry >64 B chunks, so starting at the 128-byte tier skips
             # the default-tier attempt (and its compile) entirely
             cont0 = (device_stream.CONT_MID
-                     if int(qualities.max()) >= 85 else None)
+                     if int(qualities.max())
+                     >= device_stream.QUALITY_MID_TIER else None)
             streams = [
                 dct_stream.DCTPlaneStream(
                     sizes, np.frombuffer(content.tobytes(), np.uint8))

@@ -155,6 +155,16 @@ def _sharded_codec(mesh, precision: str, cont: int, hc: int, wc: int,
         return _decompress_planes_body(A, C, sizes, qy, qu, qv,
                                        hy, wy, hc, wc, precision)
 
+    def kbody(A, C, sizes):
+        # per-device pull compaction: the d2h link must not carry the
+        # dense C (device_stream module docstring); the capacity tier
+        # equals cont, which covers every live continuation row exactly
+        from ..kernels.pallas_dct8 import unpack_rows8
+        c_bm = unpack_rows8(C)
+        _, cB, _, _, _ok = ds._compact_split(
+            c_bm, A, sizes, jnp.bool_(True), C.shape[0] // 8)
+        return cB
+
     # check_vma=False: bodies are purely per-device (no collectives) and
     # the entropy kernels' scans carry literal starts
     compress = jax.jit(jax.shard_map(
@@ -165,8 +175,11 @@ def _sharded_codec(mesh, precision: str, cont: int, hc: int, wc: int,
         dbody, mesh=mesh, check_vma=False,
         in_specs=(shc, shc, shs, rep, rep, rep),
         out_specs=(shp, shp, shp, shs)))
-    _CODEC_CACHE[key] = (compress, decompress)
-    return compress, decompress
+    compact = jax.jit(jax.shard_map(
+        kbody, mesh=mesh, check_vma=False,
+        in_specs=(shc, shc, shs), out_specs=shs))
+    _CODEC_CACHE[key] = (compress, decompress, compact)
+    return _CODEC_CACHE[key]
 
 
 def _slab_geometry(h: int, w: int, n_dev: int):
@@ -198,64 +211,40 @@ def compress_frame_sharded(mesh, planes_np, qtables_np,
     sh = NamedSharding(mesh, P(AXES, None))
     args = [jax.device_put(jnp.asarray(p), sh) for p in (yp, up, vp)]
     qts = [jnp.asarray(q) for q in qtables_np]
-    A = C = sizes = None
+    A = C = sizes = compact = None
     for cont in ds.CONT_LADDER:
-        compress, _ = _sharded_codec(mesh, precision, cont,
-                                     hc_loc, wc, hy_loc, wy)
+        compress, _, compact = _sharded_codec(mesh, precision, cont,
+                                              hc_loc, wc, hy_loc, wy)
         A, C, sizes, ok = compress(*args, *qts)
         if bool(jnp.all(ok)):
             break
     else:
         raise BitstreamError("sharded device compress overflow/failure")
-    return _assemble_streams(np.asarray(A), np.asarray(C),
+    cB = compact(A, C, sizes)       # per-device live rows (d2h-friendly)
+    return _assemble_streams(np.asarray(A), np.asarray(cB),
                              np.asarray(sizes).astype(np.int32),
                              n_dev, hy, wy, hc, wc, hy_loc, hc_loc)
 
 
-def _dense_rows_to_b(c_bm: np.ndarray, sizes_np: np.ndarray) -> np.ndarray:
-    """Block-major dense continuation words [n8*8, cont] -> compacted
-    live rows [totb, 8] (what native.repack_split consumes)."""
-    sizes_r = (sizes_np.astype(np.int64) + 4 * ds.ALIGN_W - 1) \
-        // (4 * ds.ALIGN_W)
-    nbr = np.maximum(sizes_r - 1, 0)
-    totb = int(nbr.sum())
-    if not totb:
-        return np.zeros((1, ds.ALIGN_W), np.int32)
-    src = np.repeat(np.arange(sizes_np.size), nbr)
-    boffs = np.cumsum(nbr) - nbr
-    r0 = (np.arange(totb) - boffs[src]).astype(np.int64)
-    cols = r0[:, None] * ds.ALIGN_W + np.arange(ds.ALIGN_W)[None, :]
-    return np.ascontiguousarray(c_bm[src[:, None], cols])
-
-
-def _segment_bytes(A_d: np.ndarray, C_d: np.ndarray,
-                   sizes_d: np.ndarray) -> np.ndarray:
-    """One device's dense segment -> its exact packed byte stream."""
+def _assemble_streams(A, cB, sizes, n_dev, hy, wy, hc, wc, hy_loc, hc_loc):
+    """Per-device (A, compacted continuation rows) segments -> per-plane
+    (sizes u8, content u8), dropping row-padding chunks (they sit at
+    each plane's global tail)."""
     from .. import native
-    cont = C_d.shape[0] // 8
-    ntp = C_d.shape[1]
-    c_bm = np.ascontiguousarray(
-        C_d.reshape(cont, 8, ntp).transpose(2, 1, 0).reshape(ntp * 8, cont))
-    b = _dense_rows_to_b(c_bm, sizes_d)
-    return native.repack_split(A_d, b, sizes_d)
-
-
-def _assemble_streams(A, C, sizes, n_dev, hy, wy, hc, wc, hy_loc, hc_loc):
-    """Per-device dense segments -> per-plane (sizes u8, content u8),
-    dropping row-padding chunks (they sit at each plane's global tail)."""
     ny = (hy // 8) * (wy // 8)
     nc = (hc // 8) * (wc // 8)
     ny_loc = (hy_loc // 8) * (wy // 8)
     nc_loc = (hc_loc // 8) * (wc // 8)
     n_loc = ny_loc + 2 * nc_loc
     ntp_loc = A.shape[1] // n_dev
+    capw_loc = cB.size // n_dev
     out_sizes: List[List[np.ndarray]] = [[], [], []]
     out_content: List[List[np.ndarray]] = [[], [], []]
     for d in range(n_dev):
         A_d = A[:, d * ntp_loc:(d + 1) * ntp_loc]
-        C_d = C[:, d * ntp_loc:(d + 1) * ntp_loc]
+        b_d = cB[d * capw_loc:(d + 1) * capw_loc].reshape(-1, ds.ALIGN_W)
         sizes_d = sizes[d * n_loc:(d + 1) * n_loc]
-        packed = _segment_bytes(A_d, C_d, sizes_d)
+        packed = native.repack_split(A_d, b_d, sizes_d)
         offs = np.cumsum(sizes_d.astype(np.int64)) - sizes_d
         for p, (lo, cnt_loc, cnt_glob) in enumerate(
                 ((0, ny_loc, ny), (ny_loc, nc_loc, nc),
@@ -325,8 +314,8 @@ def decompress_frame_sharded(mesh, streams, qtables_np, h: int, w: int,
     A = np.concatenate([_pad_cols(a, n8, True) for a in A_cols], axis=1)
     C = np.concatenate([_pad_cols(c, n8, False) for c in C_cols], axis=1)
     sizes = np.concatenate(sizes_all)
-    _, decompress = _sharded_codec(mesh, precision, cont, hc_loc, wc,
-                                   hy_loc, wy)
+    _, decompress, _ = _sharded_codec(mesh, precision, cont, hc_loc, wc,
+                                      hy_loc, wy)
     shc = NamedSharding(mesh, P(None, AXES))
     shs = NamedSharding(mesh, P(AXES))
     qts = [jnp.asarray(q) for q in qtables_np]

@@ -32,7 +32,8 @@ def _device_rate(y, u, v, qts, q: int, time_device: bool,
 
     h, w = y.shape
     n = (h // 8) * (w // 8) + 2 * (h // 16) * (w // 16)
-    conts = (ds.CONT_MID, ds.CONT_ROOMY) if q >= 85 else ds.CONT_LADDER
+    conts = ((ds.CONT_MID, ds.CONT_ROOMY) if q >= ds.QUALITY_MID_TIER
+             else ds.CONT_LADDER)
     cA = cC = sizes = total = None
     for cont in conts:
         cA, cC, sizes, total, ok = ds.compress_frame(

@@ -573,12 +573,10 @@ def encode_words8(coeffs: jnp.ndarray, cont: int = 56,
     if padn:
         pairs = jnp.concatenate(
             [pairs, jnp.zeros((padn, 32), I32)], axis=0)
+    from ..kernels.pallas_dct8 import unpack_rows8
     C, A, sizes, ok = encode_words_packed(
         pack_rows8(pairs), cont=cont, interpret=interpret, tile=tile)
-    ntp = A.shape[1]
-    a_bm = A.reshape(8, 8, ntp).transpose(2, 1, 0).reshape(ntp * 8, 8)
-    c_bm = C.reshape(cont, 8, ntp).transpose(2, 1, 0).reshape(ntp * 8, cont)
-    words = jnp.concatenate([a_bm, c_bm], axis=1)
+    words = jnp.concatenate([unpack_rows8(A), unpack_rows8(C)], axis=1)
     return words[:n], A, sizes[:n], ok[:n]
 
 

@@ -56,7 +56,7 @@ qts = [jnp.asarray(np.asarray(scalar.plane_qtable(i, 50), np.float32))
 
 _, hy_loc = ss._slab_geometry(h, w, n)
 _, hc_loc = ss._slab_geometry(h // 2, w // 2, n)
-compress, decompress = ss._sharded_codec(
+compress, decompress, _compact = ss._sharded_codec(
     mesh, "exact", 8, hc_loc, w // 2, hy_loc, w)
 sh = NamedSharding(mesh, P(ss.AXES, None))
 args = [jax.device_put(jnp.asarray(ss._pad_rows(p, 8 * n)), sh)

@@ -30,8 +30,6 @@ host path (engine.pipeline with native entropy).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,22 +38,11 @@ from ..entropy import device as edev
 from ..kernels import device as kdev
 from ..runtime.errors import BitstreamError
 
-# static content capacity per block; q50 averages ~12 B/block, max 255
-CAP_PER_BLOCK = 48
 # interchange granularity: chunks pad to 8-word (32-byte) rows. TPU row
 # gathers are index-bound, not byte-bound (tools/exp_rowwidth.py: 32-byte
 # rows gather at ~60 Midx/s vs ~110 for 16-byte — half the indices for
 # the same stream wins ~2x on compaction and ~1.3x on window expansion)
 ALIGN_W = 8
-# TOTAL interchange capacity is an AVERAGE budget in EIGHTH-rows per
-# block: the compaction gather's cost is linear in the output capacity
-# (measured 29.6 -> 17.3 -> 12.9 ms/4K frame going 3 -> 1.5 -> 1.25
-# rows/block), so the default budget hugs typical streams (q50 ~1.14
-# rows/block) and callers retry once with the roomy budget before
-# falling back to host entropy
-CAPR8_DEFAULT = 10              # 1.25 rows = 40 B/block average (q50+9%)
-CAPR8_ROOMY = 24                # 3 rows: the per-block-cap worst case
-
 # DENSE TWO-REGION interchange (frame/batch paths): region A holds
 # every chunk's first 32 bytes and region C its continuation words,
 # both [*, ceil8(N)] in the packed decoder's window layout (row 8w + r
@@ -93,29 +80,6 @@ def capb_total(npad: int, capb8_pb: int = CAPB8_DEFAULT) -> int:
     return max(npad * capb8_pb // 8, 1)
 
 
-def capr_total(n: int, capr8_pb: int = CAPR8_DEFAULT) -> int:
-    """Interchange capacity in ALIGN_W-word rows for n blocks."""
-    return -(-n * capr8_pb // 8)
-
-
-def capw_total(n: int, capr8_pb: int = CAPR8_DEFAULT) -> int:
-    """Interchange capacity in words for n blocks at the given budget
-    (the length of the content4 buffer the device paths produce)."""
-    return capr_total(n, capr8_pb) * ALIGN_W
-
-
-def _decode_lanes_dispatch(lanes):
-    """Entropy decode: Pallas register kernel on TPU (fast), XLA v1
-    elsewhere (Pallas has no compiled CPU path). The branch is trace-time
-    static."""
-    import jax
-
-    if jax.default_backend() not in ("cpu",):
-        from ..entropy import pallas_decode
-        return pallas_decode.decode_lanes(lanes)
-    return edev.decode_lanes(lanes)
-
-
 def _encode_words_dispatch(coeffs):
     """[N, 64] i16 -> (words [N, 64] i32 kernel-space block-major,
     aT [8, N] i32 A-region words, sizes [N], ok [N]).
@@ -150,18 +114,6 @@ def _decode_words_dispatch(words):
     return edev.decode_lanes(lanes)
 
 
-def _encode_lanes_dispatch(coeffs):
-    """Entropy encode: Pallas register kernel on TPU (~52 ms/4K-plane vs
-    8.5 s for the XLA v1 encoder), XLA v1 elsewhere. Byte-identical
-    output (tests/test_pallas_encode.py; tools/check_tpu_pallas_entropy)."""
-    import jax
-
-    if jax.default_backend() not in ("cpu",):
-        from ..entropy import pallas_encode
-        return pallas_encode.encode_lanes(coeffs)
-    return edev.encode_lanes(coeffs)
-
-
 # ---------------------------------------------------------------------------
 # Frame-level API: one jit per geometry (all planes' blocks in one tensor)
 # ---------------------------------------------------------------------------
@@ -173,14 +125,6 @@ def _encode_lanes_dispatch(coeffs):
 # cover the full codec instead of six, and the bigger N utilizes the chip
 # better. Block order: Y raster blocks, then U, then V — matching the
 # per-plane stream split of the on-disk DCTYUV payload (DCT.cpp:112-173).
-
-
-def _frame_qtables(qt_y, qt_u, qt_v, ny: int, nc: int):
-    qidx = jnp.concatenate([
-        jnp.zeros((ny,), jnp.int32), jnp.ones((nc,), jnp.int32),
-        jnp.full((nc,), 2, jnp.int32)])
-    qts = jnp.stack([qt_y, qt_u, qt_v])          # [3, 8, 8]
-    return qts[qidx]                             # [Ntot, 8, 8]
 
 
 def _fwd_transform(blocks_flat, qt, precision: str):
@@ -402,56 +346,6 @@ def _compact_split(wordsC, A, sizes, ok, capb8_pb: int = CAPB8_DEFAULT):
     rows = wordsC.reshape(-1, ALIGN_W)
     B = rows[jnp.clip(gsrc, 0, rows.shape[0] - 1)]
     return (contentA, B.reshape(-1), sizes, total, ok & (totb <= capb))
-
-
-def _compact_words(words, sizes, ok, capr8_pb: int = CAPR8_DEFAULT):
-    """(words [N, 64] i32 block-major, sizes [N]) -> (content4
-    [N*capr_pb*ALIGN_W] i32, sizes, total bytes, ok).
-
-    Chunks pad to ALIGN_W-word rows; the gather moves whole rows (4-word
-    slices), the TPU-friendly granularity. Row k's block id comes from a
-    cumsum over run marks and its within-block row from a running max of
-    run starts — both scans, so the single gather is the only
-    index-chasing op (the offs_r[block_of] index gather this replaces
-    cost ~9 ms/4K frame). ``capr8_pb`` is the AVERAGE capacity budget in
-    eighth-rows per block; totr > capacity flips ok (callers retry
-    roomier or fall back to host entropy)."""
-    n = sizes.shape[0]
-    sizes = sizes.astype(jnp.int32)
-    sizes_r = _chunk_rows(sizes)
-    offs_r = jnp.cumsum(sizes_r) - sizes_r
-    totr = jnp.sum(sizes_r)
-    total = jnp.sum(sizes)
-    capr = capr_total(n, capr8_pb)
-    rows_per_block = 64 // ALIGN_W
-    mark = jnp.zeros((capr,), jnp.int32).at[offs_r].add(
-        1, mode="drop", indices_are_sorted=True, unique_indices=True)
-    block_of = jnp.cumsum(mark) - 1
-    k = jnp.arange(capr, dtype=jnp.int32)
-    start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(mark > 0, k, -1))
-    r_of = jnp.clip(k - start, 0, rows_per_block - 1)
-    rows = words.reshape(n * rows_per_block, ALIGN_W)   # block-major rows
-    # rows past totr read garbage from the last block's canvas — never
-    # consumed (pull/repack/splice all stop at the exact row totals)
-    content4 = rows[block_of * rows_per_block + r_of]
-    return content4.reshape(-1), sizes, total, ok & (totr <= capr)
-
-
-def _expand_window(content4, sizes_r, cw: int):
-    """Interchange -> per-block decode windows [cw, N] (row gather).
-
-    Rows past a chunk's end carry the NEXT chunk's bytes (no mask — the
-    select cost ~3 ms/4K frame): the decoders consume exactly enc_bits
-    payload bits and tree_bits tree bits, so trailing garbage in the
-    window is never turned into symbols or validity flags."""
-    rows = content4.reshape(-1, ALIGN_W)
-    offs_r = jnp.cumsum(sizes_r) - sizes_r
-    jr = jnp.arange(cw // ALIGN_W, dtype=jnp.int32)[:, None]
-    idx = jnp.clip(offs_r[None, :] + jr, 0, rows.shape[0] - 1)
-    R4 = rows[idx]
-    n = sizes_r.shape[0]
-    return R4.transpose(0, 2, 1).reshape(cw, n)
 
 
 def _decode_idct_packed(W0, Wc, qt_y, qt_u, qt_v, ny: int, nc: int,
@@ -724,77 +618,9 @@ def compress_batch_to_streams(planes_np, qtables_np,
     return batch_streams_split(sizes_np, packed, b, ny, nc)
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "capr8_pb"))
-def compress_plane(plane: jnp.ndarray, qtable: jnp.ndarray,
-                   precision: str = "exact",
-                   capr8_pb: int = CAPR8_DEFAULT):
-    """[H, W] u8 -> (content4 [N*capr_pb*4] i32, sizes [N] i32, total
-    bytes, ok).
-
-    The whole forward path on device: blocked DCT + quantization, per-block
-    Huffman encode (Pallas word kernel), then gather-compaction into the
-    word-aligned interchange stream.
-    """
-    coeffs = kdev.dct_quantize_plane(plane, qtable, precision=precision)
-    n = coeffs.shape[0]
-    words, _aT, sizes, ok = _encode_words_dispatch(coeffs.reshape(n, 64))
-    return _compact_words(words, sizes, jnp.all(ok), capr8_pb)
-
-
-@functools.partial(jax.jit, static_argnames=("h", "w", "cw", "precision"))
-def decompress_plane(content4: jnp.ndarray, sizes: jnp.ndarray,
-                     qtable: jnp.ndarray, h: int, w: int, cw: int = 16,
-                     precision: str = "exact"):
-    """(content4 words, sizes [N]) -> ([H, W] u8 plane, ok bool)."""
-    n = sizes.shape[0]
-    sizes = sizes.astype(jnp.int32)
-    sizes_r = _chunk_rows(sizes)
-    R = _expand_window(content4, sizes_r, cw)
-    coeffs, ok = _decode_words_dispatch(R)
-    ok = ok & (sizes_r <= cw // ALIGN_W)
-    plane = kdev.dequantize_idct_plane(
-        coeffs.reshape(n, 8, 8), qtable, h, w, precision=precision)
-    return plane, jnp.all(ok)
-
-
-def roundtrip_planes(planes, qtables, precision: str = "exact"):
-    """Full on-chip roundtrip of one frame's planes; returns device arrays.
-
-    Dispatches all compresses before all decompresses so XLA can overlap;
-    returns (recon_planes, total_compressed_bytes, ok) where ``ok`` is the
-    AND of every compress/decompress status flag — False means capacity
-    overflow or a bad decode, and the planes/byte count must not be
-    trusted.
-    """
-    comp = [compress_plane(p, q, precision=precision)
-            for p, q in zip(planes, qtables)]
-    recon = []
-    total = jnp.int32(0)
-    all_ok = jnp.bool_(True)
-    for (content, sizes, t, ok), p, q in zip(comp, planes, qtables):
-        h, w = p.shape
-        r, dok = decompress_plane(content, sizes, q, h, w,
-                                  precision=precision)
-        recon.append(r)
-        total = total + t
-        all_ok = all_ok & ok & dok
-    return recon, total, all_ok
-
-
 # ---------------------------------------------------------------------------
 # Host-facing helpers (pull/push with bounded shape variants)
 # ---------------------------------------------------------------------------
-
-_PULL_QUANTUM = 1 << 20  # 1 MiB
-
-
-def pull_words(content4_dev: jnp.ndarray, totalw: int) -> np.ndarray:
-    """Transfer ceil(totalw words/1MiB)-rounded prefix of the interchange
-    buffer; returns exactly totalw i32 words."""
-    nw = int(totalw)
-    q = _PULL_QUANTUM // 4
-    padded = min(content4_dev.shape[0], (nw + q - 1) // q * q)
-    return np.asarray(content4_dev[:padded])[:nw]
 
 
 def pull_split(contentA_dev: jnp.ndarray, contentB_dev: jnp.ndarray):
@@ -847,18 +673,6 @@ def compress_frame_to_streams(planes_np, qtables_np,
     return _split_planes(sizes_np, packed, ny, nc)
 
 
-def _pad_interchange(words_np: np.ndarray, n: int) -> np.ndarray:
-    """Pad expanded interchange words to the smallest static capacity
-    geometry (default, then roomy); raises when even roomy is exceeded."""
-    for capr8_pb in (CAPR8_DEFAULT, CAPR8_ROOMY):
-        capw = capw_total(n, capr8_pb)
-        if words_np.size <= capw:
-            padded = np.zeros((capw,), np.int32)
-            padded[:words_np.size] = words_np
-            return padded
-    raise BitstreamError("stream larger than device capacity")
-
-
 def _dense_c_np(b_np: np.ndarray, sizes_np: np.ndarray,
                 cont: int) -> np.ndarray:
     """Compacted live continuation rows -> dense region C
@@ -902,45 +716,3 @@ def decompress_streams_to_frame(streams, qtables_np, h: int, w: int,
     if not bool(ok):
         raise BitstreamError("Huffman bad code (device decode)")
     return np.asarray(y), np.asarray(u), np.asarray(v)
-
-
-def compress_plane_to_stream(plane_np: np.ndarray, qtable_np: np.ndarray,
-                             precision: str = "exact"):
-    """Host API: plane -> (chunk_sizes u8 [N], content u8 [total]).
-
-    Raises BitstreamError on capacity overflow (caller falls back to the
-    native host encoder).
-    """
-    from .. import native
-    content4 = sizes = None
-    for capr8_pb in (CAPR8_DEFAULT, CAPR8_ROOMY):
-        content4, sizes, total, ok = compress_plane(
-            jnp.asarray(plane_np), jnp.asarray(qtable_np),
-            precision=precision, capr8_pb=capr8_pb)
-        if bool(ok):
-            break
-    else:
-        raise BitstreamError("device compress overflow/failure")
-    sizes_np = np.asarray(sizes).astype(np.int32)
-    totalw = int(native._chunk_words(sizes_np, ALIGN_W).sum())
-    words_np = pull_words(content4, totalw)
-    return sizes_np.astype(np.uint8), native.repack_words(
-        words_np, sizes_np, align=ALIGN_W)
-
-
-def decompress_stream_to_plane(sizes_np: np.ndarray, content_np: np.ndarray,
-                               qtable_np: np.ndarray, h: int, w: int,
-                               precision: str = "exact") -> np.ndarray:
-    """Host API: ragged stream -> [H, W] u8 plane (pulled to host)."""
-    from .. import native
-    n = sizes_np.shape[0]
-    sizes_i32 = sizes_np.astype(np.int32)
-    words_np = native.expand_words(content_np, sizes_i32, align=ALIGN_W)
-    padded = _pad_interchange(words_np, n)
-    cw = 16 if int(sizes_i32.max(initial=0)) <= 64 else 64
-    plane, ok = decompress_plane(
-        jnp.asarray(padded), jnp.asarray(sizes_i32),
-        jnp.asarray(qtable_np), h, w, cw=cw, precision=precision)
-    if not bool(ok):
-        raise BitstreamError("Huffman bad code (device decode)")
-    return np.asarray(plane)

@@ -16,6 +16,13 @@ def main():
     rng = np.random.default_rng(7)
     fails = 0
 
+    # jitted entries: the block-level kernels are eager library functions,
+    # and eager op-by-op dispatch through the tunnel costs ~2.5 ms/op
+    j_fwd = jax.jit(device.dct_quantize)
+    j_inv = jax.jit(device.dequantize_idct)
+    j_to_iyuv = jax.jit(device.bgrx_to_iyuv)
+    j_to_bgrx = jax.jit(device.iyuv_to_bgrx)
+
     # random blocks across qualities/planes
     blocks = rng.integers(0, 256, size=(4096, 8, 8), dtype=np.uint8)
     coeffs = rng.integers(-1024, 1024, size=(4096, 8, 8), dtype=np.int16)
@@ -23,10 +30,10 @@ def main():
         for p in (0, 1):
             qt = scalar.plane_qtable(p, q)
             want = scalar.dct_quantize_blocks(blocks, qt)
-            got = np.asarray(device.dct_quantize(jnp.asarray(blocks), jnp.asarray(qt)))
+            got = np.asarray(j_fwd(jnp.asarray(blocks), jnp.asarray(qt)))
             ok1 = (got == want).all()
             w2 = scalar.dequantize_idct_blocks(coeffs, qt)
-            g2 = np.asarray(device.dequantize_idct(jnp.asarray(coeffs), jnp.asarray(qt)))
+            g2 = np.asarray(j_inv(jnp.asarray(coeffs), jnp.asarray(qt)))
             ok2 = (g2 == w2).all()
             if not (ok1 and ok2):
                 fails += 1
@@ -55,13 +62,13 @@ def main():
     # RGB conversions
     px = rng.integers(0, 256, size=(736, 992, 4), dtype=np.uint8)
     wy, wu, wv = scalar.bgrx_to_iyuv(px)
-    gy, gu, gv = [np.asarray(a) for a in device.bgrx_to_iyuv(jnp.asarray(px))]
+    gy, gu, gv = [np.asarray(a) for a in j_to_iyuv(jnp.asarray(px))]
     ok = (gy == wy).all() and (gu == wu).all() and (gv == wv).all()
     print("bgrx_to_iyuv:", "PASS" if ok else "FAIL")
     fails += 0 if ok else 1
     y, u, v = planes[:3]
     wr = scalar.iyuv_to_bgrx(y, u, v)
-    gr = np.asarray(device.iyuv_to_bgrx(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)))
+    gr = np.asarray(j_to_bgrx(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)))
     ok = (gr == wr).all()
     print("iyuv_to_bgrx:", "PASS" if ok else "FAIL")
     fails += 0 if ok else 1

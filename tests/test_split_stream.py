@@ -157,6 +157,24 @@ def test_capacity_overflow_flags_ok_false(rng):
     assert not bool(ok)
 
 
+def test_corrupt_stream_raises(rng):
+    """A corrupted chunk must flip the decoder's validity flag and
+    surface as BitstreamError from the host decompress API, never as
+    silent wrong pixels."""
+    from myyuv_tpu.runtime.errors import BitstreamError
+    h, w = 64, 64
+    y, u, v = _frame(rng, h, w)
+    qts_np = [np.asarray(q) for q in eb.plane_qtables([50] * 3)]
+    streams = ds.compress_frame_to_streams((y, u, v), qts_np)
+    sizes0, content0 = streams[0]
+    bad = content0.copy()
+    # stomp a chunk's tree section: an impossible code-length group
+    bad[1:4] = 0xFF
+    with pytest.raises(BitstreamError):
+        ds.decompress_streams_to_frame(
+            [(sizes0, bad)] + list(streams[1:]), qts_np, h, w)
+
+
 def test_streams_match_host_encoder(rng):
     """File-layout streams from the device path equal the host coder's."""
     from myyuv_tpu import entropy

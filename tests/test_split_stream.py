@@ -157,6 +157,51 @@ def test_capacity_overflow_flags_ok_false(rng):
     assert not bool(ok)
 
 
+def test_ladder_retries_to_roomy_tier(rng):
+    """q=100 noise exceeds the default AND mid tiers; the host stream
+    API must walk the ladder to CONT_ROOMY and still produce streams
+    byte-identical to the host coder."""
+    from myyuv_tpu import entropy
+    from myyuv_tpu.kernels import scalar
+    h, w = 64, 64
+    y, u, v = _frame(rng, h, w)
+    qts_np = [np.asarray(q) for q in eb.plane_qtables([100] * 3)]
+    streams = ds.compress_frame_to_streams((y, u, v), qts_np)
+    assert int(streams[0][0].astype(np.int64).max()) > 4 * (8 + ds.CONT_MID)
+    for plane, (sizes, content), pid in ((y, streams[0], 0),
+                                         (u, streams[1], 1),
+                                         (v, streams[2], 2)):
+        co = scalar.dct_quantize_blocks(
+            scalar.plane_to_blocks(plane), scalar.plane_qtable(pid, 100))
+        wsizes, wcontent = entropy.encode_blocks(
+            co.reshape(-1, 64).astype(np.int16))
+        np.testing.assert_array_equal(sizes.astype(np.int64), wsizes)
+        np.testing.assert_array_equal(content, wcontent)
+
+
+def test_stream_decode_picks_mid_tier(rng):
+    """Streams whose max chunk lands in (64, 128] B decode through the
+    cont=24 window geometry (decompress_streams_to_frame tier pick)."""
+    h, w = 64, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (128 + 60 * np.sin(xx / 9.0) * np.cos(yy / 7.0)).astype(np.uint8)
+    y = (base + rng.integers(0, 88, (h, w), np.uint8)).astype(np.uint8)
+    u = y[:h // 2, :w // 2]
+    v = y[h // 2:, :w // 2]
+    qts_np = [np.asarray(q) for q in eb.plane_qtables([90] * 3)]
+    streams = ds.compress_frame_to_streams((y, u, v), qts_np)
+    maxsz = max(int(s.astype(np.int64).max()) for s, _ in streams)
+    assert 64 < maxsz <= 128, maxsz   # the tier this test exists to hit
+    ry, ru, rv = ds.decompress_streams_to_frame(streams, qts_np, h, w)
+    from myyuv_tpu.kernels import scalar
+    qt = scalar.plane_qtable(0, 90)
+    want = scalar.blocks_to_plane(
+        scalar.dequantize_idct_blocks(
+            scalar.dct_quantize_blocks(
+                scalar.plane_to_blocks(y), qt), qt), h, w)
+    np.testing.assert_array_equal(ry, want)
+
+
 def test_corrupt_stream_raises(rng):
     """A corrupted chunk must flip the decoder's validity flag and
     surface as BitstreamError from the host decompress API, never as

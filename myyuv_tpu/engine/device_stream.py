@@ -563,14 +563,17 @@ def batch_streams_split(sizes_np: np.ndarray, packed: np.ndarray,
 @functools.partial(jax.jit, static_argnames=("capb8_pb",))
 def _compact_c(contentA, contentC, sizes, capb8_pb: int):
     """Gather region C's live continuation rows before a host pull ->
-    contentB [capb*8] i32 (the compacted artifact-side B region, what
-    native.repack_split consumes). Runs only on the host-facing stream
-    APIs — the pure device roundtrip never compacts."""
+    (contentB [capb*8] i32, ok) — the compacted artifact-side B region,
+    what native.repack_split consumes. Runs only on the host-facing
+    stream APIs — the pure device roundtrip never compacts. ``ok`` is
+    the device-side capacity check; callers assert it so a divergence
+    between _capb_tier's host arithmetic and _b_maps can never silently
+    truncate the pulled stream."""
     from ..kernels.pallas_dct8 import unpack_rows8
     c_bm = unpack_rows8(contentC)
-    _, cB, _, _, _ok = _compact_split(c_bm, contentA, sizes,
-                                      jnp.bool_(True), capb8_pb)
-    return cB
+    _, cB, _, _, ok = _compact_split(c_bm, contentA, sizes,
+                                     jnp.bool_(True), capb8_pb)
+    return cB, ok
 
 
 def _capb_tier(sizes_np: np.ndarray, ntp: int) -> int:
@@ -591,7 +594,9 @@ def _pull_packed_stream(cA, cC, sizes, sizes_np: np.ndarray) -> np.ndarray:
     """(device interchange, host sizes) -> exact packed byte stream."""
     from .. import native
     tier = _capb_tier(sizes_np, cA.shape[1])
-    cB = _compact_c(cA, cC, sizes, tier)
+    cB, ok = _compact_c(cA, cC, sizes, tier)
+    if not bool(ok):
+        raise BitstreamError("pull compaction overflowed its tier")
     aT_np, b_np = pull_split(cA, cB)
     return native.repack_split(aT_np, b_np, sizes_np)
 

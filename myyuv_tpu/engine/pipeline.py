@@ -53,9 +53,9 @@ def compress_dct(img: yuv.YUVImage, params: bytes,
     if entropy_backend == "device":
         # fully on-chip: transform + entropy on device, only compressed
         # bytes pulled back (engine.device_stream, one jit per geometry).
-        # The device content buffer is statically sized (CAP_PER_BLOCK);
-        # frames whose chunks overflow it (low quality, high entropy) fall
-        # back to the host entropy stage instead of failing.
+        # The encoder emits a static continuation-word tier (the cont
+        # ladder 8/24/56); frames whose chunks overflow even the roomy
+        # tier fall back to the host entropy stage instead of failing.
         from . import device_stream
         try:
             # quality picks the emission tier up front: high-q streams

@@ -159,11 +159,12 @@ def _sharded_codec(mesh, precision: str, cont: int, hc: int, wc: int,
         # per-device pull compaction: the d2h link must not carry the
         # dense C (device_stream module docstring); the capacity tier
         # equals cont, which covers every live continuation row exactly
+        # — ok is still surfaced so the caller can assert that
         from ..kernels.pallas_dct8 import unpack_rows8
         c_bm = unpack_rows8(C)
-        _, cB, _, _, _ok = ds._compact_split(
+        _, cB, _, _, ok = ds._compact_split(
             c_bm, A, sizes, jnp.bool_(True), C.shape[0] // 8)
-        return cB
+        return cB, ok[None]
 
     # check_vma=False: bodies are purely per-device (no collectives) and
     # the entropy kernels' scans carry literal starts
@@ -177,7 +178,7 @@ def _sharded_codec(mesh, precision: str, cont: int, hc: int, wc: int,
         out_specs=(shp, shp, shp, shs)))
     compact = jax.jit(jax.shard_map(
         kbody, mesh=mesh, check_vma=False,
-        in_specs=(shc, shc, shs), out_specs=shs))
+        in_specs=(shc, shc, shs), out_specs=(shs, shs)))
     _CODEC_CACHE[key] = (compress, decompress, compact)
     return _CODEC_CACHE[key]
 
@@ -220,7 +221,9 @@ def compress_frame_sharded(mesh, planes_np, qtables_np,
             break
     else:
         raise BitstreamError("sharded device compress overflow/failure")
-    cB = compact(A, C, sizes)       # per-device live rows (d2h-friendly)
+    cB, cok = compact(A, C, sizes)  # per-device live rows (d2h-friendly)
+    if not bool(jnp.all(cok)):
+        raise BitstreamError("sharded pull compaction overflowed")
     return _assemble_streams(np.asarray(A), np.asarray(cB),
                              np.asarray(sizes).astype(np.int32),
                              n_dev, hy, wy, hc, wc, hy_loc, hc_loc)

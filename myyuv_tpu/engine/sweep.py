@@ -16,6 +16,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .. import entropy
+from ..runtime.errors import BitstreamError
 from . import batch as eb
 
 
@@ -41,7 +42,7 @@ def _device_rate(y, u, v, qts, q: int, time_device: bool,
         if bool(ok):
             break
     else:
-        raise RuntimeError("device compress overflow")
+        raise BitstreamError("device compress overflow")
     comp_bytes = int(total) + n + 3 * 8 + 12
     enc_s = dec_s = None
     if time_device:

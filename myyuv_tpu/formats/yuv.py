@@ -230,27 +230,78 @@ class YUVImage:
         bits = self.descriptor.format_size_bits()
         return sum(self.width * self.height * b // 8 for b in bits)
 
-    def planes(self):
-        """List of per-plane uint8 arrays [h, w] (uncompressed images only).
+    def plane_offsets(self):
+        """Per-plane byte offsets into the payload (None = absent).
 
-        The generic pointer computation of the reference
-        (myyuv_yuv.cpp:383-427) reduces, for planar formats, to slicing the
-        payload at per-plane offsets in plane_order sequence.
+        The array analog of getYUVPlanes' pointer walk
+        (myyuv_yuv.cpp:383-427): sequential prefix offsets in plane_order
+        sequence; PACKED planes all alias offset 0; zero-size channels
+        drop to None; SEMI_PLANAR chroma channels share one offset
+        (res[2] = res[1] in the reference).
+        """
+        desc = self.descriptor
+        bits = desc.format_size_bits()
+        order = desc.plane_order
+        offs = [None] * MAX_PLANES
+        offs[order[0]] = 0
+        prev = order[0]
+        for o in order[1:]:
+            if o == NO_PLANE:
+                continue
+            offs[o] = (0 if desc.group == FormatGroup.PACKED
+                       else offs[prev]
+                       + self.width * self.height * bits[prev] // 8)
+            prev = o
+        for o in order:
+            if o != NO_PLANE and bits[o] == 0:
+                offs[o] = None
+        if desc.group == FormatGroup.SEMI_PLANAR:
+            if offs[1] is not None:
+                offs[2] = offs[1]
+            elif offs[2] is not None:
+                offs[1] = offs[2]
+        return tuple(offs)
+
+    def planes(self):
+        """List of per-plane uint8 arrays (uncompressed images only).
+
+        Generic over the three format groups, mirroring getYUVPlanes
+        (myyuv_yuv.cpp:383-427):
+
+        * PLANAR: each plane is its own [ph, pw] view of the payload.
+        * SEMI_PLANAR: luma is a [ph, pw] view; both chroma entries
+          ALIAS one interleaved region, returned as the combined
+          [ph, combined_bytes/ph] view for each (the caller derives
+          per-channel strides, as with the reference's raw pointers).
+        * PACKED: every present plane aliases the whole interleaved
+          payload (res[o] = data in the reference), returned flat.
         """
         if self.is_compressed():
             raise FormatError("cannot take planes of a compressed image")
         desc = self.descriptor
         bits = desc.format_size_bits()
+        offs = self.plane_offsets()
         out = [None] * MAX_PLANES
-        offset = 0
-        for o in desc.plane_order:
-            if o == NO_PLANE:
+        for o in range(MAX_PLANES):
+            if offs[o] is None:
                 continue
-            size = self.width * self.height * bits[o] // 8
+            if desc.group == FormatGroup.PACKED:
+                out[o] = self.data
+                continue
             pw, ph = self.plane_shape(o)
-            if size:
-                out[o] = self.data[offset: offset + size].reshape(ph, pw)
-            offset += size
+            size = self.width * self.height * bits[o] // 8
+            if desc.group == FormatGroup.SEMI_PLANAR and o in (1, 2):
+                # combined bytes of every chroma channel aliasing this
+                # offset (the interleaved UV region of an NV12-style
+                # format)
+                size = sum(self.width * self.height * bits[c] // 8
+                           for c in (1, 2) if offs[c] == offs[o])
+                if ph and size % ph == 0:
+                    out[o] = self.data[offs[o]: offs[o] + size].reshape(
+                        ph, size // ph)
+                    continue
+            if size and pw and ph:
+                out[o] = self.data[offs[o]: offs[o] + size].reshape(ph, pw)
         return out
 
     def get_pixel(self, x: int, y: int) -> Tuple[int, ...]:

@@ -91,3 +91,67 @@ def test_dct_stream_lanes_roundtrip(images_dir):
     rt = dct_stream.DCTPlaneStream.from_lanes(lanes, p.chunk_sizes)
     assert np.array_equal(rt.content, p.content)
     assert np.array_equal(rt.chunk_sizes, p.chunk_sizes)
+
+
+def test_semi_planar_planes_and_sizes():
+    """Group-generic plane geometry: a fake NV12-style SEMI_PLANAR format
+    registered into the registry gets correct plane_offsets / planes /
+    image_size (getYUVPlanes semantics, myyuv_yuv.cpp:383-427: chroma
+    channels alias one interleaved region)."""
+    from myyuv_tpu.formats import yuv as fy
+
+    fcc = fy.fourcc("NV12")
+    desc = fy.FormatDescriptor(
+        fourcc=fcc, name="NV12", group=fy.FormatGroup.SEMI_PLANAR,
+        plane_order=(0, 1, 2, fy.NO_PLANE), resolution_fraction=(2, 2))
+    fy.register_format(desc, bmp_to_yuv=lambda bmp: None)
+    try:
+        w, h = 16, 8
+        rng = np.random.default_rng(3)
+        payload = rng.integers(0, 256, w * h * 3 // 2, dtype=np.int64)
+        payload = payload.astype(np.uint8)
+        hdr = fy.YUVHeader(fourcc_format=fcc, data_size=payload.size,
+                           width=w, height=h, data_pos=fy.HEADER_SIZE)
+        img = fy.YUVImage(hdr, None, payload)
+        assert img.image_size() == w * h * 3 // 2
+        assert img.plane_offsets() == (0, w * h, w * h, None)
+        p = img.planes()
+        assert p[0].shape == (h, w)
+        assert np.array_equal(p[0], payload[:w * h].reshape(h, w))
+        # both chroma entries alias the SAME interleaved UV region
+        assert p[1].shape == (h // 2, w)
+        assert np.array_equal(p[1], payload[w * h:].reshape(h // 2, w))
+        assert np.shares_memory(p[1], p[2])
+        assert p[3] is None
+    finally:
+        fy.FORMATS.pop(fcc, None)
+        fy.BMP_TO_YUV.pop(fcc, None)
+
+
+def test_packed_planes_alias_payload():
+    """PACKED group: every present plane aliases the whole payload
+    (res[o] = data, myyuv_yuv.cpp:404-406)."""
+    from myyuv_tpu.formats import yuv as fy
+
+    fcc = fy.fourcc("YUY2")
+    desc = fy.FormatDescriptor(
+        fourcc=fcc, name="YUY2", group=fy.FormatGroup.PACKED,
+        plane_order=(0, 1, 2, fy.NO_PLANE), resolution_fraction=(2, 1))
+    fy.register_format(desc, bmp_to_yuv=lambda bmp: None)
+    try:
+        w, h = 8, 4
+        bits = desc.format_size_bits()
+        assert bits == (8, 4, 4, 0)
+        size = sum(w * h * b // 8 for b in bits)
+        payload = np.arange(size, dtype=np.uint8)
+        hdr = fy.YUVHeader(fourcc_format=fcc, data_size=size,
+                           width=w, height=h, data_pos=fy.HEADER_SIZE)
+        img = fy.YUVImage(hdr, None, payload)
+        assert img.image_size() == size
+        assert img.plane_offsets() == (0, 0, 0, None)
+        p = img.planes()
+        for o in range(3):
+            assert np.shares_memory(p[o], payload)
+    finally:
+        fy.FORMATS.pop(fcc, None)
+        fy.BMP_TO_YUV.pop(fcc, None)

@@ -100,3 +100,37 @@ def test_cont8_tier_flags_oversize(rng):
     # cross-check the small chunks' bytes against the XLA encoder
     lanes_x, sizes_x, _ = edev.encode_lanes(jnp.asarray(c))
     np.testing.assert_array_equal(sizes[small], np.asarray(sizes_x)[small])
+
+
+def test_cont24_mid_tier_roundtrip(rng):
+    """cont=24 (CONT_MID) kernel geometry in interpret mode: the
+    non-power-of-two continuation trim and 192-row window region are
+    exercised by chunks between 64 and 128 bytes, then decoded straight
+    back by the split-window decoder (cw=32)."""
+    from myyuv_tpu.entropy import pallas_decode8 as pd8
+    from myyuv_tpu.entropy.reference import ZIGZAG
+    from myyuv_tpu.kernels.pallas_dct8 import pack_rows8
+
+    zz = np.asarray(ZIGZAG)
+    c = rng.integers(-16, 17, (64, 64)).astype(np.int16)  # dense mid alphabet
+    c[0] = 0
+    c[1, :] = 0
+    c[1, 0] = 5
+    m = c.astype(np.int32)[:, zz]
+    pairs = ((m[:, 0::2] & 0xFFFF) | (m[:, 1::2] << 16)).astype(np.int32)
+    C, A, sizes, ok = pallas_encode8.encode_words_packed(
+        pack_rows8(jnp.asarray(pairs)), cont=24, interpret=True)
+    sizes = np.asarray(sizes)[:64]
+    assert np.asarray(ok)[:64].all()
+    assert (sizes > 64).any(), "content must exercise continuation rows"
+    assert (sizes <= 4 * (8 + 24)).all()
+    # byte sizes agree with the XLA encoder
+    _, sizes_x, _ = edev.encode_lanes(jnp.asarray(c))
+    np.testing.assert_array_equal(sizes, np.asarray(sizes_x))
+    # (A, C) feed the cw=32 split-window decoder verbatim
+    out, dok = pd8.decode_words8_packed_split(A, C, interpret=True, tile=32)
+    assert np.asarray(dok)[:64].all()
+    ntp = out.shape[1]
+    mm = np.asarray(out)[:512].reshape(64, 8, ntp).transpose(2, 1, 0)
+    mm = mm.reshape(ntp * 8, 64)[:64][:, np.argsort(zz)]
+    np.testing.assert_array_equal(mm.astype(np.int16), c)

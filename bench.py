@@ -5,6 +5,10 @@ Prints ONE JSON line:
 
 Paths measured (all bit-exact vs the compiled reference CLI):
 
+  streamed — sustained roundtrips with K frames in flight
+            (engine/streaming.py): zero steady-state host syncs, so the
+            tunnel's per-sync latency is hidden and the rate approaches
+            the device-time bound. The throughput headline.
   device  — the fully on-chip codec: pixel pack, fused
             DCT+quantize+Huffman-encode, dense two-region interchange,
             fused Huffman-decode+IDCT, unpack. One executable per
@@ -167,6 +171,31 @@ def bench_device_4k(planes_np, qts, cont=None):
         return None, None, None
     dt = _time(lambda: rt()[0])
     return dt, int(total), np.asarray(ry)
+
+
+def bench_sustained(planes_np, qts, n_frames=112):
+    """Sustained streamed roundtrips (engine/streaming.py): K frames in
+    flight, zero steady-state syncs — the honest throughput/chip number
+    (the per-frame-synchronized number pays the tunnel's ~25 ms d2h
+    latency every frame; a direct-attached chip has neither). Uses the
+    same roundtrip_frame executable the fused bench verifies."""
+    from myyuv_tpu.engine import streaming
+
+    fps, ok, total = streaming.sustained_roundtrip_fps(
+        planes_np, qts, n_frames=n_frames)
+    return fps, ok, total, n_frames
+
+
+def bench_stream_compress(planes_np, qts, n_frames=8):
+    """Streamed compress with per-frame host pulls overlapped
+    (pull-lean device word compaction + copy_to_host_async + host byte
+    squeeze). On this box the d2h tunnel (~19 MB/s) is the whole
+    budget; the number documents that the pulls overlap compute."""
+    from myyuv_tpu.engine import streaming
+
+    fps, total, first = streaming.compress_stream_timed(
+        planes_np, qts, n_frames=n_frames)
+    return fps, total, first
 
 
 def bench_device_4k_fused(planes_np, qts):
@@ -422,6 +451,27 @@ def main() -> int:
     else:
         log("device on-chip path overflowed capacity (fell back)")
 
+    # --- sustained streamed roundtrips (K frames in flight) ---------------
+    sustained_fps = sustained_frames = None
+    stream_compress_fps = None
+    try:
+        sustained_fps, s_ok, s_total, sustained_frames = bench_sustained(
+            planes_np, qts)
+        log(f"sustained streamed roundtrips ({sustained_frames} frames): "
+            f"{sustained_fps:.1f} frames/s, ok={s_ok}")
+        if not s_ok:
+            sustained_fps = None
+    except Exception as e:
+        log("sustained bench failed:", e)
+    try:
+        stream_compress_fps, sc_total, _ = bench_stream_compress(
+            planes_np, qts)
+        log(f"streamed compress + overlapped host pulls: "
+            f"{stream_compress_fps:.2f} frames/s (d2h-tunnel-bound here; "
+            f"~0.2 ms/frame of pull on direct-attached PCIe)")
+    except Exception as e:
+        log("stream compress bench failed:", e)
+
     # --- fused single-executable roundtrip (transcode entry) --------------
     fused_s = None
     try:
@@ -516,6 +566,10 @@ def main() -> int:
         candidates["device"] = device_s
     if fused_s is not None:
         candidates["device_fused"] = fused_s
+    if sustained_fps is not None:
+        # the streamed driver runs the SAME verified executable with K
+        # frames in flight; its per-frame rate is the throughput metric
+        candidates["device_streamed"] = 1 / sustained_fps
     best = min(candidates, key=candidates.get)
     e2e_s = candidates[best]
     log(f"best end-to-end path: {best} at {1/e2e_s:.2f} frames/s")
@@ -565,6 +619,11 @@ def main() -> int:
         "unit": "frames/s",
         "vs_baseline": (round(baseline_s / e2e_s, 2) if baseline_s else None),
         "best_path": best,
+        "sustained_4k_fps": (round(sustained_fps, 2)
+                             if sustained_fps else None),
+        "sustained_frames_measured": sustained_frames,
+        "stream_compress_pull_fps": (round(stream_compress_fps, 2)
+                                     if stream_compress_fps else None),
         "device_roundtrip_fps": (round(1 / device_s, 2)
                                  if device_s else None),
         "device_fused_roundtrip_fps": (round(1 / fused_s, 2)

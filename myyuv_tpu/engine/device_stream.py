@@ -266,24 +266,32 @@ def _chunk_rows(sizes):
 
 
 def _b_maps(sizes_r, npad: int, capb: int):
-    """Global stream-compaction maps for the B region.
+    """Global stream-compaction maps for the B region: per-block
+    CONTINUATION row counts (rows beyond the one held in A) fed to the
+    generic ``_row_maps``."""
+    n = sizes_r.shape[0]
+    ovf = jnp.maximum(sizes_r.astype(jnp.int32) - 1, 0)
+    if npad != n:
+        ovf = jnp.concatenate([ovf, jnp.zeros(npad - n, jnp.int32)])
+    return _row_maps(ovf, npad, capb)
 
-    For each compacted B row p (stream order, capacity ``capb`` rows)
-    returns (src_block [capb] — the owning block id in [0, npad), r0
-    [capb] — its 0-based continuation-row index, total — the live row
-    count). Rows p >= total carry garbage ids (callers clamp/drop).
+
+def _row_maps(rows, npad: int, capb: int):
+    """Generic global stream-compaction maps.
+
+    For each compacted stream row p (stream order, capacity ``capb``
+    rows) returns (src_block [capb] — the owning block id in [0, npad),
+    r0 [capb] — its 0-based row index within the block, total — the
+    live row count). ``rows`` [npad] i32 is the per-block row count.
+    Rows p >= total carry garbage ids (callers clamp/drop).
 
     Scatter/gather economics: one nseg-index scatter (segment start
     marks -> cumsum -> per-row segment), one capb-element gather of the
     segment offsets, one capb-row gather of the per-segment inclusive
     row cumsums, then a 64-wide searchsorted per row — every cost is
     O(capb + nseg), never O(N)."""
-    n = sizes_r.shape[0]
     nseg = npad // SEG
-    ovf = jnp.maximum(sizes_r.astype(jnp.int32) - 1, 0)
-    if npad != n:
-        ovf = jnp.concatenate([ovf, jnp.zeros(npad - n, jnp.int32)])
-    cumS = jnp.cumsum(ovf.reshape(nseg, SEG), axis=1)   # [nseg, SEG] incl
+    cumS = jnp.cumsum(rows.reshape(nseg, SEG), axis=1)  # [nseg, SEG] incl
     seg_tot = cumS[:, -1]
     soffs = jnp.cumsum(seg_tot) - seg_tot               # [nseg] exclusive
     total = soffs[-1] + seg_tot[-1]
@@ -574,6 +582,47 @@ def _compact_c(contentA, contentC, sizes, capb8_pb: int):
     _, cB, _, _, ok = _compact_split(c_bm, contentA, sizes,
                                      jnp.bool_(True), capb8_pb)
     return cB, ok
+
+
+# PULL-LEAN stream compaction tiers for the streaming driver
+# (engine/streaming.py): average words per block * 8. The dense A+C
+# regions carry ~3x the live bytes; on a tunneled/narrow d2h link the
+# pull IS the streaming budget, so the device gathers the exact live
+# words (4-byte granularity) before the transfer. 32 = 16 B/block avg
+# (golden q50 needs ~13.7), 96 = 48 B (q90-class), 512 = the 255-byte
+# format maximum.
+CAPW8_DEFAULT = 32
+CAPW8_MID = 96
+CAPW8_ROOMY = 512
+CAPW8_LADDER = (CAPW8_DEFAULT, CAPW8_MID, CAPW8_ROOMY)
+
+
+@functools.partial(jax.jit, static_argnames=("capw8",))
+def _compact_stream_words(contentA, contentC, sizes, ok, capw8: int):
+    """Dense two-region interchange -> (words [capw] i32 — the EXACT
+    live stream words back to back in block order, each chunk padded to
+    a word boundary; sizes_u8 [N]; ok) for a pull-lean d2h transfer.
+
+    The host finishes with native.repack_words(words[:totw], sizes,
+    align=1) — a linear byte squeeze. The gather is O(capw) element
+    indices via the same segment machinery as the B-region compaction
+    (_row_maps); capw = npad * capw8 // 8."""
+    sizes = sizes.astype(jnp.int32)
+    n = sizes.shape[0]
+    n8 = contentA.shape[1]
+    npad = -(-n8 * 8 // SEG) * SEG
+    capw = max(npad * capw8 // 8, 1)
+    rows = (sizes + 3) // 4                  # words per chunk
+    if npad != n:
+        rows = jnp.concatenate([rows, jnp.zeros(npad - n, jnp.int32)])
+    src_block, r0, totw = _row_maps(rows, npad, capw)
+    W = jnp.concatenate([contentA, contentC], axis=0)   # [cw*8, n8]
+    cw = W.shape[0] // 8
+    b = jnp.clip(src_block, 0, n8 * 8 - 1)
+    w = jnp.clip(r0, 0, cw - 1)
+    words = W[8 * w + b % 8, b // 8]
+    return (words, sizes.astype(jnp.uint8),
+            ok & (totw <= capw) & jnp.all(sizes <= 4 * cw))
 
 
 def _capb_tier(sizes_np: np.ndarray, ntp: int) -> int:

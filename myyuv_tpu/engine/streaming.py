@@ -1,0 +1,205 @@
+"""K-frames-in-flight streaming drivers (round-4, VERDICT r3 #2).
+
+The reference's throughput story is the OpenMP pipeline keeping all
+cores busy (DCT.cpp:399-426); the TPU-native story is keeping the chip
+busy across FRAMES: executes pipeline through the runtime as long as
+nothing synchronizes, so the driver never syncs inside the steady
+state.
+
+Measured behavior on the tunneled dev box (tools/exp_r4stream.py /
+exp_r4pull.py, 4K q50):
+
+* a fully synchronized roundtrip costs ~33 ms (the d2h sync alone has a
+  ~25 ms latency floor), an async CHAIN sustains ~7.8 ms/frame — within
+  ~10% of the 7.07 ms device-time bound;
+* d2h pulls run at ~19 MB/s with ~25 ms latency but OVERLAP with
+  executes via ``copy_to_host_async`` — so the compress driver pulls
+  the pull-lean compacted stream (exact live words, ~4.6 MB capacity vs
+  ~10.5 MB for the dense interchange + sizes) while later frames
+  compress;
+* host-side assembly (native byte squeeze) also overlaps device work.
+
+``roundtrip_stream`` is the transcode/RD engine loop: frames stay on
+device, per-frame ok/total flags are stacked in fixed-size chunks on
+device and pulled only at the drain, so the execute pipeline never
+stalls. ``compress_stream`` is the capture loop: per-frame compressed
+bytes come down the link with bounded in-flight depth.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..runtime.errors import BitstreamError
+from . import device_stream as ds
+
+# ok/total flags are stacked on device in fixed-arity chunks: one tiny
+# executable per arity (reused), one d2h pull per chunk at the drain
+FLAG_CHUNK = 16
+
+
+@jax.jit
+def _stack_flags(*xs):
+    return jnp.stack(xs)
+
+
+def _stack_chunks(flags) -> List[jnp.ndarray]:
+    """List of device scalars -> list of stacked chunk arrays (device)."""
+    out = []
+    for i in range(0, len(flags), FLAG_CHUNK):
+        out.append(_stack_flags(*flags[i:i + FLAG_CHUNK]))
+    return out
+
+
+def roundtrip_stream(frames: Sequence[Tuple], qtables,
+                     precision: str = "exact",
+                     cont: int = ds.CONT_DEFAULT):
+    """Async-chain roundtrips over device-resident frames.
+
+    ``frames``: sequence of (y, u, v) DEVICE arrays. Returns
+    (ok [N] bool, totals [N] int64, elapsed_s). Dispatches every
+    frame's fused roundtrip executable back to back with ZERO host
+    syncs; the per-frame ok/total scalars are stacked into device
+    chunks mid-stream and pulled once at the drain (the pull of the
+    stacked chunks is the pipeline drain — each chunk depends on its
+    frames' executes)."""
+    oks, totals = [], []
+    t0 = time.perf_counter()
+    for (y, u, v) in frames:
+        ry, ru, rv, total, ok = ds.roundtrip_frame(
+            y, u, v, *qtables, precision=precision, cont=cont)
+        oks.append(ok)
+        totals.append(total)
+        # ry/ru/rv refs drop here: buffers free as the pipeline advances
+    okc = _stack_chunks(oks)
+    totc = _stack_chunks(totals)
+    for c in okc:
+        c.copy_to_host_async()
+    for c in totc:
+        c.copy_to_host_async()
+    ok_np = np.concatenate([np.asarray(c) for c in okc])
+    tot_np = np.concatenate([np.asarray(c).astype(np.int64)
+                             for c in totc])
+    elapsed = time.perf_counter() - t0
+    return ok_np, tot_np, elapsed
+
+
+def sustained_roundtrip_fps(planes_np, qtables, n_frames: int = 112,
+                            precision: str = "exact",
+                            cont: int = ds.CONT_DEFAULT):
+    """Upload one frame, run ``n_frames`` streamed roundtrips, retry any
+    overflowed frame up the cont ladder (retries timed too). Returns
+    (fps, ok_all, total_bytes_frame0)."""
+    dev = tuple(jnp.asarray(p) for p in planes_np)
+    # frame count a FLAG_CHUNK multiple (one stack arity), and one
+    # chunk-sized warm run so the roundtrip AND stack executables
+    # compile outside the timed region
+    n_frames = -(-n_frames // FLAG_CHUNK) * FLAG_CHUNK
+    roundtrip_stream([dev] * FLAG_CHUNK, qtables, precision=precision,
+                     cont=cont)
+    ok_np, tot_np, elapsed = roundtrip_stream(
+        [dev] * n_frames, qtables, precision=precision, cont=cont)
+    n_retry = int((~ok_np).sum())
+    if n_retry:
+        ladder = [t for t in ds.CONT_LADDER if t > cont]
+        t0 = time.perf_counter()
+        for tier in ladder:
+            okr, _, _ = roundtrip_stream(
+                [dev] * n_retry, qtables, precision=precision, cont=tier)
+            if okr.all():
+                break
+        else:
+            return None, False, None
+        elapsed += time.perf_counter() - t0
+    return n_frames / elapsed, bool(ok_np.all() or n_retry), int(tot_np[0])
+
+
+def _capw_tier0(qualities, cont: int) -> int:
+    """Start tier for the pull compaction, from the quality/cont hint."""
+    if cont > ds.CONT_DEFAULT or (
+            qualities and max(qualities) >= ds.QUALITY_MID_TIER):
+        return ds.CAPW8_MID
+    return ds.CAPW8_DEFAULT
+
+
+def compress_stream(frames: Iterable[Tuple], qtables,
+                    precision: str = "exact",
+                    cont: int = ds.CONT_DEFAULT,
+                    capw8: Optional[int] = None,
+                    qualities: Optional[Sequence[int]] = None,
+                    depth: int = 3):
+    """Streamed compress of device-resident frames with overlapped
+    pulls: yields per-frame [(sizes u8, content u8) x 3] plane streams
+    (identical bytes to compress_frame_to_streams).
+
+    Pipeline per frame: compress_frame -> _compact_stream_words (the
+    pull-lean gather) -> copy_to_host_async on (words, sizes, ok); the
+    NEXT frame's executes dispatch before the oldest pending frame is
+    assembled on the host, so transfers and host byte-squeeze overlap
+    device compute. ``depth`` bounds frames in flight. A frame whose
+    chunks overflow ``cont``/``capw8`` is retried synchronously up the
+    ladder (exact, just slower — overflow is the exception path)."""
+    capw8 = capw8 or _capw_tier0(list(qualities or ()), cont)
+    pending = deque()
+
+    def _assemble(item):
+        words, sizes_u8, okf, planes_dev, h, w = item
+        sizes_np = np.asarray(sizes_u8).astype(np.int32)
+        if not bool(np.asarray(okf)):
+            # overflow: redo this frame synchronously, roomier
+            from .device_stream import compress_frame_to_streams
+            planes_host = [np.asarray(p) for p in planes_dev]
+            qt_np = [np.asarray(q) for q in qtables]
+            return compress_frame_to_streams(
+                planes_host, qt_np, precision=precision,
+                cont0=ds.CONT_MID if cont == ds.CONT_DEFAULT else cont)
+        from .. import native
+        words_np = np.asarray(words)
+        totw = int(((sizes_np.astype(np.int64) + 3) // 4).sum())
+        packed = native.repack_words(words_np[:totw], sizes_np, align=1)
+        ny = (h // 8) * (w // 8)
+        nc = (h // 16) * (w // 16)
+        return ds._split_planes(sizes_np, packed, ny, nc)
+
+    for planes_dev in frames:
+        y, u, v = planes_dev
+        h, w = y.shape
+        cA, cC, sizes, total, ok = ds.compress_frame(
+            y, u, v, *qtables, precision=precision, cont=cont)
+        words, sizes_u8, okf = ds._compact_stream_words(
+            cA, cC, sizes, ok, capw8)
+        words.copy_to_host_async()
+        sizes_u8.copy_to_host_async()
+        okf.copy_to_host_async()
+        pending.append((words, sizes_u8, okf, planes_dev, h, w))
+        while len(pending) > depth:
+            yield _assemble(pending.popleft())
+    while pending:
+        yield _assemble(pending.popleft())
+
+
+def compress_stream_timed(planes_np, qtables, n_frames: int = 16,
+                          **kw):
+    """Bench helper: stream ``n_frames`` copies of one frame through
+    compress_stream, return (fps, total_bytes of frame 0, streams of
+    frame 0) — the pull-inclusive sustained compress rate."""
+    dev = tuple(jnp.asarray(p) for p in planes_np)
+    first = None
+    # warm executables + one pull outside the timed region
+    for st in compress_stream([dev], qtables, **kw):
+        first = st
+    t0 = time.perf_counter()
+    k = 0
+    for st in compress_stream([dev] * n_frames, qtables, **kw):
+        k += 1
+    elapsed = time.perf_counter() - t0
+    if k != n_frames:
+        raise BitstreamError("compress_stream dropped frames")
+    total = sum(int(c.size) for _, c in first)
+    return n_frames / elapsed, total, first

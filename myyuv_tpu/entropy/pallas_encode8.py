@@ -117,7 +117,8 @@ def _bitonic8(key, ig):
     return key
 
 
-def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref):
+def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref,
+                 ablate: str = ""):
     """Shared encoder body: ``pw`` [256, TP] i32 zigzag-ordered
     coefficient PAIR VALUES packed-8 (rows 8p..8p+7 hold messages
     2p | 2p+1 << 16 of the column's 8 blocks — the dct_quantize_words
@@ -125,6 +126,12 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref):
     word 8+w of sublane-block r — the decoder's Wc window region
     verbatim), a [64, TP] i32 (rows 8w + r: the packed decoder's W0
     window layout, directly consumable), size [8, TP], ok [8, TP].
+
+    ``ablate`` (measurement only, tools/exp_encphase.py) skips ONE
+    phase's sequential loops while keeping every loop BOUND and tensor
+    shape identical, so T(full) - T(ablated) measures that phase's
+    cycles: "serial" | "lut" | "merge" | "depth" | "frontonly". The
+    production path ("") is untouched.
 
     ``scr_ref`` is [2048, TP] VMEM scratch: rows 0..511 the canonical
     LUT records, 512..1023 the payload quads (values + lengths),
@@ -188,6 +195,14 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref):
         mlenmax <= 16, lambda: front(16),
         lambda: jax.lax.cond(mlenmax <= 32, lambda: front(32),
                              lambda: front(64)))
+
+    if ablate == "frontonly":
+        # measurement stub: everything after the front is skipped
+        words_ref[...] = jnp.zeros((words_ref.shape[0], tp), I32)
+        a_ref[...] = jnp.zeros((64, tp), I32)
+        size_ref[...] = n_sym
+        ok_ref[...] = jnp.ones((8, tp), I32)
+        return
 
     nmax = jnp.max(n_sym)                             # scalar loop bound
     lo11 = lo & 0x7FF
@@ -256,9 +271,12 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref):
             return lh, ih, it, intw4, parentL, parentI
 
         zeroR = jnp.zeros((R, tp), I32)
-        lh, ih, it, intw4, parentL, parentI = jax.lax.fori_loop(
-            0, nmax - 1, merge_body,
-            (z8, z8, z8, jnp.zeros((8 * rows4, tp), I32), zeroR, zeroR))
+        init = (z8, z8, z8, jnp.zeros((8 * rows4, tp), I32), zeroR, zeroR)
+        if ablate == "merge":
+            lh, ih, it, intw4, parentL, parentI = init
+        else:
+            lh, ih, it, intw4, parentL, parentI = jax.lax.fori_loop(
+                0, nmax - 1, merge_body, init)
 
         # ---- depth sweep: write-based top-down propagation --------------
         scr_ref[1536:1536 + R, :] = zeroR
@@ -272,7 +290,8 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref):
             leafd = jnp.where(parentL == nid, dR, leafd)
             return leafd
 
-        leafd = jax.lax.fori_loop(0, nmax - 1, depth_body, zeroR)
+        leafd = (zeroR if ablate == "depth"
+                 else jax.lax.fori_loop(0, nmax - 1, depth_body, zeroR))
         leaf_len = jnp.where(n_symR == 1, 1, leafd)   # per sorted-leaf row
 
         # ---- canonical (len, sym) order + Kraft codes -------------------
@@ -362,7 +381,8 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref):
             return lc_l, lc_h
 
         zm = jnp.zeros((mR, tp), I32)
-        lc_l, lc_h = jax.lax.fori_loop(0, nmax, lut_body, (zm, zm))
+        lc_l, lc_h = ((zm, zm) if ablate == "lut"
+                      else jax.lax.fori_loop(0, nmax, lut_body, (zm, zm)))
         l0 = jnp.where(vlo[:mR], lc_l >> 8, 0)
         l1 = jnp.where(vhi[:mR], lc_h >> 8, 0)
         enc_bits = _fold_sum(l0 + l1)                 # [8, TP]
@@ -416,6 +436,12 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref):
 
     st = (z8, z8, z8, jnp.zeros((64, tp), I32),
           jnp.zeros((8 * cont, tp), I32))
+    if ablate == "serial":
+        words_ref[...] = st[4]
+        a_ref[...] = st[3]
+        size_ref[...] = size
+        ok_ref[...] = ok
+        return
     # 3-byte header as ONE 24-bit append (same bit sequence)
     hdr24 = (_bitrev8(enc_bits & 0xFF) << 16) \
         | (_bitrev8(_shr_l(enc_bits, 8) & 0xFF) << 8) \
@@ -469,7 +495,7 @@ def _encode_kernel8(pair_ref, words_ref, a_ref, size_ref, ok_ref, scr_ref):
 
 
 def _dct_encode_kernel8(x_ref, qt_ref, pid_ref, words_ref, a_ref,
-                        size_ref, ok_ref, scr_ref):
+                        size_ref, ok_ref, scr_ref, ablate: str = ""):
     """Fused transform + entropy encode: x [128, TP] i32 pixel quad
     words (packed-8, 4 px/word) -> the encoder outputs, with the
     [256, TP] coefficient-pair tensor living only in VMEM — the
@@ -480,14 +506,16 @@ def _dct_encode_kernel8(x_ref, qt_ref, pid_ref, words_ref, a_ref,
     from ..kernels.pallas_dct8 import _dctq_pairs, _qt_select
     qp = _qt_select(qt_ref, pid_ref)
     _encode_body(_dctq_pairs(x_ref[...], qp), words_ref, a_ref,
-                 size_ref, ok_ref, scr_ref)
+                 size_ref, ok_ref, scr_ref, ablate)
 
 
-@functools.partial(jax.jit, static_argnames=("cont", "interpret", "tile"))
+@functools.partial(jax.jit,
+                   static_argnames=("cont", "interpret", "tile", "ablate"))
 def dct_encode_words_packed(xw: jnp.ndarray, qtx: jnp.ndarray,
                             pids: jnp.ndarray, cont: int = 8,
                             interpret: bool = False,
-                            tile: int | None = None):
+                            tile: int | None = None,
+                            ablate: str = ""):
     """Fused DCT+quantize+Huffman-encode: [128, NP] i32 pixel quad words
     (+ [3*512, 1] expanded qtables, [1, NP] plane ids) ->
     (C [8*cont, NP] i32 — the decoder's Wc window region verbatim,
@@ -498,7 +526,7 @@ def dct_encode_words_packed(xw: jnp.ndarray, qtx: jnp.ndarray,
     ntp = xw.shape[1]
     grid = (ntp // tp,)
     C, A, size8, ok8 = pl.pallas_call(
-        _dct_encode_kernel8,
+        functools.partial(_dct_encode_kernel8, ablate=ablate),
         out_shape=(jax.ShapeDtypeStruct((8 * cont, ntp), I32),
                    jax.ShapeDtypeStruct((64, ntp), I32),
                    jax.ShapeDtypeStruct((8, ntp), I32),

@@ -139,6 +139,24 @@ def _sync(x):
     np.asarray(x.ravel()[:1] if getattr(x, "ndim", 0) else x)
 
 
+_SYNC_S = [0.0]
+
+
+def _calibrate_sync():
+    """The d2h sync carries a ~25 ms latency floor through the tunnel;
+    at small rep counts it dominates the mean (round <=3 benches baked
+    ~2.5 ms/rep of it into every per-frame number). Measure it on a
+    ready tiny array and subtract it from timed loops."""
+    import jax.numpy as jnp
+    x = jnp.zeros((8, 128), jnp.int32) + 1
+    _sync(x)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        _sync(x)
+    _SYNC_S[0] = (time.perf_counter() - t0) / 5
+    log(f"d2h sync latency: {_SYNC_S[0]*1e3:.1f} ms (subtracted)")
+
+
 def _time(fn, reps=REPS, sync=_sync):
     r = fn()
     sync(r)
@@ -146,7 +164,7 @@ def _time(fn, reps=REPS, sync=_sync):
     for _ in range(reps):
         r = fn()
     sync(r)
-    return (time.perf_counter() - t0) / reps
+    return max(time.perf_counter() - t0 - _SYNC_S[0], 1e-9) / reps
 
 
 def bench_device_4k(planes_np, qts, cont=None):
@@ -304,7 +322,7 @@ def bench_device_batch_1080p(qts):
     for i in range(meas):
         ry, total, ok = rt(i + 1)
     _sync(ry)
-    per_frame = (time.perf_counter() - t0) / (meas * BATCH_B)
+    per_frame = (time.perf_counter() - t0 - _SYNC_S[0]) / (meas * BATCH_B)
     return per_frame, int(total), meas * BATCH_B
 
 
@@ -429,6 +447,7 @@ def main() -> int:
     from myyuv_tpu.kernels import device as kdev
 
     log("devices:", jax.devices())
+    _calibrate_sync()
     planes_np = get_4k_planes()
     h, w = planes_np[0].shape
     planes = [jnp.asarray(p) for p in planes_np]

@@ -257,16 +257,18 @@ def bgrx_to_iyuv(pixels: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
     qcb = (cb + 2) >> 2
     qcr = (cr + 2) >> 2
 
-    def quad_sum(c):
-        # 2x2 window sum via reduce_window: the strided-slice
-        # formulation lowers to ~143 ms/4K frame on TPU, this one to
-        # ~6 ms (tools/exp_conv.py); i32 adds are order-exact
-        lead = (1,) * (c.ndim - 2)
-        s = jax.lax.reduce_window(c, 0, jax.lax.add,
-                                  lead + (2, 2), lead + (2, 2), "VALID")
-        return (s & 255).astype(jnp.uint8)
-
-    return y, quad_sum(qcb), quad_sum(qcr)
+    # BOTH chroma channels in ONE 2x2 reduce_window over packed
+    # qcb | qcr << 16 fields (per-channel quad sums <= 256 never cross
+    # the field boundary; i32 adds are order-exact). The strided-slice
+    # formulation lowers ~300x worse on TPU; two separate
+    # reduce_windows cost 4x this one (tools/exp_conv.py,
+    # tools/exp_r4conv.py: 0.12 ms/4K frame).
+    t = qcb | (qcr << 16)
+    lead = (1,) * (t.ndim - 2)
+    s = jax.lax.reduce_window(t, 0, jax.lax.add,
+                              lead + (2, 2), lead + (2, 2), "VALID")
+    return (y, (s & 255).astype(jnp.uint8),
+            ((s >> 16) & 255).astype(jnp.uint8))
 
 
 def iyuv_to_bgrx(y: jnp.ndarray, u: jnp.ndarray,

@@ -57,14 +57,30 @@ def sync(x):
     np.asarray(x.ravel()[:1])
 
 
-def timeit(fn, reps=6):
+_SYNC_MS = [0.0]
+
+
+def timeit(fn, reps=40):
+    """ms/op with the d2h sync latency (~25 ms floor on this tunnel)
+    subtracted — at small reps the sync otherwise dominates the mean
+    (the round-3 conversion numbers carried ~5 ms of it)."""
     out = fn()
     sync(out[0] if isinstance(out, tuple) else out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn()
     sync(out[0] if isinstance(out, tuple) else out)
-    return (time.perf_counter() - t0) / reps * 1e3
+    return ((time.perf_counter() - t0) * 1e3 - _SYNC_MS[0]) / reps
+
+
+def calibrate_sync():
+    x = jnp.zeros((8, 128), jnp.int32)
+    sync(x)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        sync(x)
+    _SYNC_MS[0] = (time.perf_counter() - t0) * 1e3 / 5
+    print(f"sync latency: {_SYNC_MS[0]:.1f} ms", flush=True)
 
 
 # --- building blocks --------------------------------------------------------
@@ -183,6 +199,42 @@ def main():
     qcb = jnp.asarray(rng.integers(0, 65, (H, W), np.int32))
     qcr = jnp.asarray(rng.integers(0, 65, (H, W), np.int32))
     uu8 = jnp.asarray(rng.integers(0, 256, (H2, W2), np.uint8))
+    calibrate_sync()
+
+    # component floors
+    @jax.jit
+    def comp_add(a, b):
+        return a + b
+
+    @jax.jit
+    def comp_u8cast(a):
+        return (a & 255).astype(jnp.uint8)
+
+    @jax.jit
+    def comp_vsum(a):
+        return vpair_sum(a)
+
+    print(f"i32 add [H,W]       : {timeit(lambda: comp_add(qcb, qcr)):7.3f} ms",
+          flush=True)
+    print(f"u8 cast [H,W]       : {timeit(lambda: comp_u8cast(qcb)):7.3f} ms",
+          flush=True)
+    print(f"v-pair-sum [H,W]    : {timeit(lambda: comp_vsum(qcb)):7.3f} ms",
+          flush=True)
+
+    # full current kernels for reference, same harness
+    from myyuv_tpu.kernels import device as kdev
+    px = rng.integers(0, 256, (H, W, 4), np.uint8)
+    px[..., 3] = 0
+    pdev = jnp.asarray(px)
+    planes = (jnp.asarray(rng.integers(0, 256, (H, W), np.uint8)),
+              jnp.asarray(np.asarray(uu8)),
+              jnp.asarray(rng.integers(0, 256, (H2, W2), np.uint8)))
+    jf = jax.jit(kdev.bgrx_to_iyuv)
+    ji = jax.jit(kdev.iyuv_to_bgrx)
+    print(f"bgrx_to_iyuv current: {timeit(lambda: jf(pdev)[0]):7.3f} ms",
+          flush=True)
+    print(f"iyuv_to_bgrx current: {timeit(lambda: ji(*planes)):7.3f} ms",
+          flush=True)
 
     want = [np.asarray(x) for x in c0(qcb, qcr)]
     for name, fn in (("c0 reduce_window x2 ", c0),

@@ -351,7 +351,8 @@ def bench_stages(planes_np, qts):
 
     @jax.jit
     def stage_pack(y, u, v):
-        parts = [p8.pack_pixel_words(p) for p in (y, u, v)]
+        uv = jnp.concatenate([u, v], axis=0)
+        parts = [p8.pack_pixel_words(y), p8.pack_pixel_words(uv)]
         xw = jnp.concatenate(parts, axis=1)
         padc = (-(n // 8)) % p8.TILE
         if padc:
@@ -378,11 +379,9 @@ def bench_stages(planes_np, qts):
     @jax.jit
     def stage_unpack(pixw):
         yv = p8.unpack_pixel_words(pixw[:, :ny // 8], h, w)
-        uv = p8.unpack_pixel_words(
-            pixw[:, ny // 8:(ny + nc) // 8], h // 2, w // 2)
-        vv = p8.unpack_pixel_words(
-            pixw[:, (ny + nc) // 8:n // 8], h // 2, w // 2)
-        return yv, uv, vv
+        uvp = p8.unpack_pixel_words(
+            pixw[:, ny // 8:n // 8], h, w // 2)
+        return yv, uvp[:h // 2], uvp[h // 2:]
 
     ry, _, _ = stage_unpack(pixw)
     _sync(ry)

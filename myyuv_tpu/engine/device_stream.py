@@ -185,9 +185,13 @@ def _compress_words_packed(y, u, v, qt_y, qt_u, qt_v, b: int, h: int,
     # frames contiguous within each plane region): each plane stack
     # packs as one tall plane — no per-frame slicing (the frame-major
     # interleave cost ~2 ms/frame of extra relayout at B=4 4K)
+    # U and V share geometry: ONE row-stacked relayout call covers both
+    # (identical block order to packing them separately; halves the
+    # per-call overhead of the chroma relayouts)
+    uv = jnp.concatenate([u.reshape(b * (h // 2), w // 2),
+                          v.reshape(b * (h // 2), w // 2)], axis=0)
     parts = [p8.pack_pixel_words(y.reshape(b * h, w)),
-             p8.pack_pixel_words(u.reshape(b * (h // 2), w // 2)),
-             p8.pack_pixel_words(v.reshape(b * (h // 2), w // 2))]
+             p8.pack_pixel_words(uv)]
     xw = jnp.concatenate(parts, axis=1)
     padc = (-(n // 8)) % p8.TILE
     if padc:
@@ -374,10 +378,11 @@ def _decode_idct_packed(W0, Wc, qt_y, qt_u, qt_v, ny: int, nc: int,
     pids = p8.plane_pids(b * ny, b * nc, W0.shape[1] - n // 8)
     pixw, ok = pd8.decode_idct_words8_split(W0, Wc, qtx, pids)
     y = p8.unpack_pixel_words(pixw[:, :by8], b * h, w)
-    u = p8.unpack_pixel_words(pixw[:, by8:by8 + bc8],
-                              b * (h // 2), w // 2)
-    v = p8.unpack_pixel_words(pixw[:, by8 + bc8:by8 + 2 * bc8],
-                              b * (h // 2), w // 2)
+    # U and V unpack as one row-stacked plane (mirror of the pack side)
+    uvp = p8.unpack_pixel_words(pixw[:, by8:by8 + 2 * bc8],
+                                2 * b * (h // 2), w // 2)
+    u = uvp[:b * (h // 2)]
+    v = uvp[b * (h // 2):]
     if b > 1:
         y = y.reshape(b, h, w)
         u = u.reshape(b, h // 2, w // 2)

@@ -73,7 +73,8 @@ def _compress_planes_body(y, u, v, qt_y, qt_u, qt_v,
     if packed:
         from ..entropy import pallas_encode8 as pe8
         from ..kernels import pallas_dct8 as p8
-        parts = [p8.pack_pixel_words(p) for p in (y, u, v)]
+        uv = jnp.concatenate([u, v], axis=0)   # one chroma relayout
+        parts = [p8.pack_pixel_words(y), p8.pack_pixel_words(uv)]
         xw = jnp.concatenate(parts, axis=1)
         padc = (-(n // 8)) % p8.TILE
         if padc:
@@ -118,11 +119,9 @@ def _decompress_planes_body(A, C, sizes, qt_y, qt_u, qt_v,
         pids = p8.plane_pids(ny, nc, A.shape[1] - n // 8)
         pixw, ok = pd8.decode_idct_words8_split(A, C, qtx, pids)
         y = p8.unpack_pixel_words(pixw[:, :ny // 8], hy, wy)
-        u = p8.unpack_pixel_words(
-            pixw[:, ny // 8:(ny + nc) // 8], hc, wc)
-        v = p8.unpack_pixel_words(
-            pixw[:, (ny + nc) // 8:n // 8], hc, wc)
-        return y, u, v, (jnp.all(ok) & okr)[None]
+        uvp = p8.unpack_pixel_words(
+            pixw[:, ny // 8:n // 8], 2 * hc, wc)
+        return y, uvp[:hc], uvp[hc:], (jnp.all(ok) & okr)[None]
     coeffs, ok = ds._decode_words8_dispatch(A, C, n)
     py = ds._inv_transform(coeffs[:ny], qt_y, precision)
     pu = ds._inv_transform(coeffs[ny:ny + nc], qt_u, precision)

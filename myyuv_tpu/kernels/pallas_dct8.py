@@ -329,17 +329,143 @@ def dequantize_idct_words(coef8: jnp.ndarray, qtx: jnp.ndarray,
     )(coef8, qtx, pids)
 
 
+# ---------------------------------------------------------------------------
+# Plane <-> packed-word relayouts
+# ---------------------------------------------------------------------------
+#
+# On TPU the relayout rides the MXU as 0/1-permutation matmuls over the
+# plane's BYTE planes (bytes 0..255 are exact in bf16; every P column
+# selects exactly one input word so the f32 accumulation is one exact
+# byte): the XLA transpose formulations degenerate to 8-byte HBM runs
+# (~14 GB/s effective; 57-63x their byte bound — the round-3 #1 cost),
+# while the matmul route's only real data movement is a major-dims
+# transpose with L*4-byte minor runs (measured ~2x faster per plane,
+# tools/exp_r4pack.py; in-kernel fusion is impossible — Mosaic rejects
+# every lane-stride primitive, tools/exp_r4lane.py).
+
+
+def _perm_mxu(L: int) -> jnp.ndarray:
+    """[16L, 16L] bf16 permutation: P[w, m] = 1 iff
+    w = 16*(m % L) + 2*((m//L) % 8) + m//(8L) — the word w of a plane
+    row feeding packed column slot m = (k1*8 + r)*L + c. Built from
+    iota compares at trace time (a materialized literal of this size
+    would bloat the executable)."""
+    n = 16 * L
+    w = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    m = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    src = 16 * (m % L) + 2 * ((m // L) % 8) + m // (8 * L)
+    return (w == src).astype(jnp.bfloat16)
+
+
+def _perm2_mxu(L: int, wb: int):
+    """2-row-unit variant for wb % 4 == 0 (e.g. 4K chroma, wb = 252):
+    (P_lo, P_hi) [2wb, 16L] for the unit's first/second block row."""
+    n = 16 * L
+    w = jax.lax.broadcasted_iota(jnp.int32, (2 * wb, n), 0)
+    m = jax.lax.broadcasted_iota(jnp.int32, (2 * wb, n), 1)
+    c = m % L
+    r = (m // L) % 8
+    k1 = m // (8 * L)
+    bb = 8 * c + r
+    lo = bb < wb
+    src = 2 * jnp.where(lo, bb, bb - wb) + k1
+    return ((w == src) & lo).astype(jnp.bfloat16), \
+        ((w == src) & ~lo).astype(jnp.bfloat16)
+
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _pack_mxu(plane: jnp.ndarray) -> jnp.ndarray:
+    h, w = plane.shape
+    wb = w // 8
+    L = wb // 8
+    v = jax.lax.bitcast_convert_type(
+        plane.reshape(h, w // 4, 4), jnp.int32)
+    P = _perm_mxu(L)
+    o = jnp.zeros((h, 2 * wb), jnp.int32)
+    for j in range(4):
+        bj = ((v >> (8 * j)) & 255).astype(jnp.bfloat16)
+        oj = jnp.dot(bj, P, precision=_HI,
+                     preferred_element_type=F32).astype(jnp.int32)
+        o = o | (oj << (8 * j))
+    return o.reshape(h // 8, 8, 16, L).transpose(1, 2, 0, 3).reshape(
+        128, (h // 8) * L)
+
+
+def _unpack_mxu(xw: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
+    wb = pw // 8
+    L = wb // 8
+    o = xw.reshape(8, 16, ph // 8, L).transpose(2, 0, 1, 3).reshape(
+        ph, 2 * wb)
+    P = _perm_mxu(L)
+    v = jnp.zeros((ph, 2 * wb), jnp.int32)
+    for j in range(4):
+        bj = ((o >> (8 * j)) & 255).astype(jnp.bfloat16)
+        vj = jnp.dot(bj, P.T, precision=_HI,
+                     preferred_element_type=F32).astype(jnp.int32)
+        v = v | (vj << (8 * j))
+    return jax.lax.bitcast_convert_type(v, jnp.uint8).reshape(ph, pw)
+
+
+def _pack_mxu2(plane: jnp.ndarray) -> jnp.ndarray:
+    h, w = plane.shape
+    wb = w // 8
+    L = wb // 4
+    v = jax.lax.bitcast_convert_type(
+        plane.reshape(h, w // 4, 4), jnp.int32)
+    vu = v.reshape(h // 16, 2, 8, 2 * wb)
+    A = vu[:, 0].reshape(h // 2, 2 * wb)
+    B = vu[:, 1].reshape(h // 2, 2 * wb)
+    Plo, Phi = _perm2_mxu(L, wb)
+    o = jnp.zeros((h // 2, 16 * L), jnp.int32)
+    for j in range(4):
+        aj = ((A >> (8 * j)) & 255).astype(jnp.bfloat16)
+        bj = ((B >> (8 * j)) & 255).astype(jnp.bfloat16)
+        oj = (jnp.dot(aj, Plo, precision=_HI, preferred_element_type=F32)
+              + jnp.dot(bj, Phi, precision=_HI,
+                        preferred_element_type=F32)).astype(jnp.int32)
+        o = o | (oj << (8 * j))
+    return o.reshape(h // 16, 8, 16, L).transpose(1, 2, 0, 3).reshape(
+        128, (h // 16) * L)
+
+
+def _unpack_mxu2(xw: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
+    wb = pw // 8
+    L = wb // 4
+    o = xw.reshape(8, 16, ph // 16, L).transpose(2, 0, 1, 3).reshape(
+        ph // 2, 16 * L)
+    Plo, Phi = _perm2_mxu(L, wb)
+    A = jnp.zeros((ph // 2, 2 * wb), jnp.int32)
+    B = jnp.zeros((ph // 2, 2 * wb), jnp.int32)
+    for j in range(4):
+        oj = ((o >> (8 * j)) & 255).astype(jnp.bfloat16)
+        aj = jnp.dot(oj, Plo.T, precision=_HI,
+                     preferred_element_type=F32).astype(jnp.int32)
+        bj = jnp.dot(oj, Phi.T, precision=_HI,
+                     preferred_element_type=F32).astype(jnp.int32)
+        A = A | (aj << (8 * j))
+        B = B | (bj << (8 * j))
+    v = jnp.stack([A.reshape(ph // 16, 8, 2 * wb),
+                   B.reshape(ph // 16, 8, 2 * wb)], axis=1)
+    return jax.lax.bitcast_convert_type(
+        v.reshape(ph, 2 * wb), jnp.uint8).reshape(ph, pw)
+
+
 def pack_pixel_words(plane: jnp.ndarray) -> jnp.ndarray:
     """[H, W] u8 plane -> [128, N/8] i32 pixel quad words (packed-8
     layout, 4 consecutive row pixels per word, little-endian).
 
-    When the block-column count is a multiple of 8 the relayout is ONE
-    5D transpose (the exact mirror of unpack_pixel_words) instead of the
-    two-hop route through a [N, 16] block-major intermediate — the hops
-    cost ~0.6 ms/4K frame of pure HBM shuffling."""
+    TPU: MXU permutation route (see above). CPU/fallback: the 5D
+    transpose (wb % 8 == 0) or the two-hop block-major route."""
     h, w = plane.shape
     n = (h // 8) * (w // 8)
     wb = w // 8
+    if jax.default_backend() not in ("cpu",):
+        if wb % 8 == 0:
+            return _pack_mxu(plane)
+        if wb % 4 == 0:
+            return _pack_mxu2(plane)
     v = jax.lax.bitcast_convert_type(
         plane.reshape(h, w // 4, 4), jnp.int32)         # [H, W/4]
     if wb % 8 == 0:
@@ -353,11 +479,15 @@ def pack_pixel_words(plane: jnp.ndarray) -> jnp.ndarray:
 def unpack_pixel_words(xw: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
     """[128, n/8] i32 pixel quad words -> [ph, pw] u8 plane.
 
-    When the block-column count is a multiple of 8 the relayout is ONE
-    5D transpose (block b = bi*(W/8)+bj splits separably into lane group
-    c and sublane s = bj%8) instead of unpack_rows8 + blocks_to_plane."""
+    TPU: MXU permutation route (see above). CPU/fallback: the 5D
+    transpose (wb % 8 == 0) or unpack_rows8 + blocks_to_plane."""
     n = xw.shape[1] * 8
     wb = pw // 8
+    if jax.default_backend() not in ("cpu",):
+        if wb % 8 == 0:
+            return _unpack_mxu(xw, ph, pw)
+        if wb % 4 == 0:
+            return _unpack_mxu2(xw, ph, pw)
     if wb % 8 == 0:
         v = xw.reshape(8, 2, 8, ph // 8, wb // 8).transpose(
             3, 0, 4, 2, 1).reshape(ph, pw // 4)

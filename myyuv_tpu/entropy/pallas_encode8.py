@@ -130,12 +130,12 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref,
     ``ablate`` (measurement only, tools/exp_encphase.py) skips ONE
     phase's sequential loops while keeping every loop BOUND and tensor
     shape identical, so T(full) - T(ablated) measures that phase's
-    cycles: "serial" | "lut" | "merge" | "depth" | "frontonly". The
+    cycles: "serial" | "lut" | "merge" | "frontonly". The
     production path ("") is untouched.
 
-    ``scr_ref`` is [2048, TP] VMEM scratch: rows 0..511 the canonical
+    ``scr_ref`` is [1536, TP] VMEM scratch: rows 0..511 the canonical
     LUT records, 512..1023 the payload quads (values + lengths),
-    1024..1535 the tree records, 1536..2047 the interior node depths.
+    1024..1535 the tree records.
     Sequential loops read them back through UNIFORM dynamic row slices
     (``ref[pl.ds(8*c, 8)]``) — O(1) vector work per step.
 
@@ -249,7 +249,13 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref,
             return (lh, ih, it, intw4, active), w, node
 
         def merge_body(s, carry):
-            lh, ih, it, intw4, parentL, parentI = carry
+            # leaf depths by ANCESTOR TRACKING: each sorted-leaf row
+            # keeps its current subtree-root node id; when that node
+            # merges, the leaf sits one level deeper. Replaces the
+            # round-3 parent arrays + top-down depth sweep (a second
+            # nmax-long loop that the phase ablation measured at
+            # 0.83 ms — as expensive as the merge itself).
+            lh, ih, it, intw4, anc, leafd = carry
             active = it < n_sym - 1
             st = (lh, ih, it, intw4, active)
             st, w1, node1 = pick(st)
@@ -259,39 +265,24 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref,
             n1R = _tile_g(jnp.where(active, node1, 999), rows)
             n2R = _tile_g(jnp.where(active, node2, 999), rows)
             newR = _tile_g(new_id, rows)
-            parentL = jnp.where(ig == n1R, newR, parentL)
-            parentL = jnp.where(ig == n2R, newR, parentL)
-            parentI = jnp.where(ig == n1R - 64, newR, parentI)
-            parentI = jnp.where(ig == n2R - 64, newR, parentI)
+            m = (anc == n1R) | (anc == n2R)
+            anc = jnp.where(m, newR, anc)
+            leafd = leafd + m.astype(I32)
             wsh = _shl(_tile_g(jnp.where(active, w1 + w2, 0), rows4),
                        _tile_g((it & 3) << 3, rows4))
             intw4 = intw4 | jnp.where(ig4 == _tile_g(it >> 2, rows4),
                                       wsh, 0)
             it = it + active.astype(I32)
-            return lh, ih, it, intw4, parentL, parentI
+            return lh, ih, it, intw4, anc, leafd
 
         zeroR = jnp.zeros((R, tp), I32)
-        init = (z8, z8, z8, jnp.zeros((8 * rows4, tp), I32), zeroR, zeroR)
+        init = (z8, z8, z8, jnp.zeros((8 * rows4, tp), I32), ig, zeroR)
         if ablate == "merge":
-            lh, ih, it, intw4, parentL, parentI = init
+            lh, ih, it, intw4, anc, leafd = init
         else:
-            lh, ih, it, intw4, parentL, parentI = jax.lax.fori_loop(
+            lh, ih, it, intw4, anc, leafd = jax.lax.fori_loop(
                 0, nmax - 1, merge_body, init)
 
-        # ---- depth sweep: write-based top-down propagation --------------
-        scr_ref[1536:1536 + R, :] = zeroR
-
-        def depth_body(i, leafd):
-            nid = 64 + nmax - 2 - i
-            d = scr_ref[pl.ds(1536 + (nid - 64) * 8, 8), :] + 1
-            dR = _tile_g(d, rows)
-            scr_ref[1536:1536 + R, :] = jnp.where(
-                parentI == nid, dR, scr_ref[1536:1536 + R, :])
-            leafd = jnp.where(parentL == nid, dR, leafd)
-            return leafd
-
-        leafd = (zeroR if ablate == "depth"
-                 else jax.lax.fori_loop(0, nmax - 1, depth_body, zeroR))
         leaf_len = jnp.where(n_symR == 1, 1, leafd)   # per sorted-leaf row
 
         # ---- canonical (len, sym) order + Kraft codes -------------------
@@ -539,7 +530,7 @@ def dct_encode_words_packed(xw: jnp.ndarray, qtx: jnp.ndarray,
                    pl.BlockSpec((64, tp), lambda i: (0, i)),
                    pl.BlockSpec((8, tp), lambda i: (0, i)),
                    pl.BlockSpec((8, tp), lambda i: (0, i))),
-        scratch_shapes=[pltpu.VMEM((2048, tp), I32)],
+        scratch_shapes=[pltpu.VMEM((1536, tp), I32)],
         interpret=interpret,
     )(xw, qtx, pids)
     return C, A, size8.T.reshape(ntp * 8), ok8.T.reshape(ntp * 8) != 0
@@ -579,7 +570,7 @@ def encode_words_packed(pairs8: jnp.ndarray, cont: int = 8,
                    pl.BlockSpec((64, tp), lambda i: (0, i)),
                    pl.BlockSpec((8, tp), lambda i: (0, i)),
                    pl.BlockSpec((8, tp), lambda i: (0, i))),
-        scratch_shapes=[pltpu.VMEM((2048, tp), I32)],
+        scratch_shapes=[pltpu.VMEM((1536, tp), I32)],
         interpret=interpret,
     )(pairs8)
     return C, A, size8.T.reshape(ntp * 8), ok8.T.reshape(ntp * 8) != 0

@@ -1,0 +1,134 @@
+"""Scaling-tail autopsy + ICI projection (VERDICT r3 #5).
+
+The sharded codec is collective-free, so real-pod efficiency is bounded
+by PER-CHIP IMBALANCE: the slowest slab's kernels gate the step. This
+measures that directly ON THE REAL CHIP: each of the 8 contiguous 4K
+block-row slabs (exactly the slabs compress_frame_sharded assigns to an
+8-device mesh) is compressed+decompressed alone and timed
+(sync-corrected); the projected ICI efficiency is mean/max slab time.
+
+Also measures the INTERLEAVED assignment (device d takes every 8th
+block row) as the candidate mitigation — content statistics even out
+across devices, at the price of a host-side row permutation of the
+assembled stream (byte order per block unchanged; chunk concatenation
+order is a static permutation).
+
+The CPU-mesh strong-scaling loss, by contrast, is host-core contention:
+tools/scaling_sweep.py's 4-on-4-cores points measure the box, not the
+graph. Output: one JSON line for PERF_NOTES/SCALING analysis.
+
+Usage: python tools/exp_r4scale.py [n_dev]
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from myyuv_tpu.runtime import jaxcache  # noqa: E402
+
+jaxcache.enable()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from myyuv_tpu.engine import batch as eb  # noqa: E402
+from myyuv_tpu.engine import device_stream as ds  # noqa: E402
+from myyuv_tpu.engine import sharded_stream as ss  # noqa: E402
+
+NDEV = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+
+
+def sync(x):
+    np.asarray(x.ravel()[:1])
+
+
+_SYNC = [0.0]
+
+
+def timeit(fn, reps=20):
+    out = fn()
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    sync(out)
+    return max((time.perf_counter() - t0) - _SYNC[0], 1e-9) / reps
+
+
+def main():
+    import bench
+
+    print("devices:", jax.devices(), flush=True)
+    x = jnp.zeros((8, 128), jnp.int32) + 1
+    sync(x)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        sync(x)
+    _SYNC[0] = (time.perf_counter() - t0) / 5
+
+    planes = bench.get_4k_planes()
+    y, u, v = planes
+    hy, wy = y.shape
+    hc, wc = u.shape
+    qts = eb.plane_qtables([50] * 3)
+
+    _, hy_loc = ss._slab_geometry(hy, wy, NDEV)
+    _, hc_loc = ss._slab_geometry(hc, wc, NDEV)
+    yp = ss._pad_rows(y, 8 * NDEV)
+    up = ss._pad_rows(u, 8 * NDEV)
+    vp = ss._pad_rows(v, 8 * NDEV)
+
+    def slab_rt(yd, ud, vd):
+        cA, cC, sizes, total, ok = ds.compress_frame(
+            jnp.asarray(yd), jnp.asarray(ud), jnp.asarray(vd), *qts)
+        ry, ru, rv, dok = ds.decompress_frame(
+            cA, cC, sizes, *qts, h=yd.shape[0], w=yd.shape[1])
+        return ry
+
+    def measure(tag, slabs):
+        times = []
+        for d, (yd, ud, vd) in enumerate(slabs):
+            dt = timeit(lambda yd=yd, ud=ud, vd=vd: slab_rt(yd, ud, vd))
+            times.append(dt)
+            print(f"{tag} slab {d}: {dt*1e3:7.3f} ms", flush=True)
+        tmax, tmean = max(times), sum(times) / len(times)
+        eff = tmean / tmax
+        print(f"{tag}: max {tmax*1e3:.3f} mean {tmean*1e3:.3f} "
+              f"-> projected collective-free efficiency {eff:.3f}",
+              flush=True)
+        return times, eff
+
+    # contiguous slabs (the production sharded assignment)
+    cont_slabs = [(yp[d * hy_loc:(d + 1) * hy_loc],
+                   up[d * hc_loc:(d + 1) * hc_loc],
+                   vp[d * hc_loc:(d + 1) * hc_loc]) for d in range(NDEV)]
+    t_cont, eff_cont = measure("contiguous", cont_slabs)
+
+    # interleaved block rows (mitigation candidate)
+    def interleave(p, loc):
+        rows = p.reshape(-1, 8, p.shape[1])
+        return [np.ascontiguousarray(
+            rows[d::NDEV].reshape(loc, p.shape[1])) for d in range(NDEV)]
+
+    iy = interleave(yp, hy_loc)
+    iu = interleave(up, hc_loc)
+    iv = interleave(vp, hc_loc)
+    t_int, eff_int = measure(
+        "interleaved", list(zip(iy, iu, iv)))
+
+    print(json.dumps({
+        "metric": "slab_imbalance_real_chip", "n_dev": NDEV,
+        "contiguous_ms": [round(t * 1e3, 3) for t in t_cont],
+        "contiguous_projected_eff": round(eff_cont, 4),
+        "interleaved_ms": [round(t * 1e3, 3) for t in t_int],
+        "interleaved_projected_eff": round(eff_int, 4)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,7 @@ graph. Output: one JSON line for PERF_NOTES/SCALING analysis.
 Usage: python tools/exp_r4scale.py [n_dev]
 """
 
+import functools
 import json
 import sys
 import time
@@ -84,16 +85,31 @@ def main():
     up = ss._pad_rows(u, 8 * NDEV)
     vp = ss._pad_rows(v, 8 * NDEV)
 
+    # the slab geometry is not a legal standalone frame (chroma rows pad
+    # independently), so time the SHARDED per-device bodies directly —
+    # exactly the graphs a mesh device runs
+    @jax.jit
+    def slab_c(y, u, v, qy, qu, qv):
+        return ss._compress_planes_body(y, u, v, qy, qu, qv, "exact", 8)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def slab_d(A, C, sizes, qy, qu, qv):
+        return ss._decompress_planes_body(
+            A, C, sizes, qy, qu, qv, hy_loc, wy, hc_loc, wc, "exact")
+
     def slab_rt(yd, ud, vd):
-        cA, cC, sizes, total, ok = ds.compress_frame(
-            jnp.asarray(yd), jnp.asarray(ud), jnp.asarray(vd), *qts)
-        ry, ru, rv, dok = ds.decompress_frame(
-            cA, cC, sizes, *qts, h=yd.shape[0], w=yd.shape[1])
+        A, C, sizes, ok = slab_c(yd, ud, vd, *qts)
+        ry, ru, rv, dok = slab_d(A, C, sizes, *qts)
         return ry
 
     def measure(tag, slabs):
         times = []
         for d, (yd, ud, vd) in enumerate(slabs):
+            # upload ONCE: a per-rep h2d of the 2.3 MB slab costs ~50 ms
+            # through the tunnel and swamps the ~1 ms kernel time
+            yd, ud, vd = (jnp.asarray(yd), jnp.asarray(ud),
+                          jnp.asarray(vd))
+            sync(yd)
             dt = timeit(lambda yd=yd, ud=ud, vd=vd: slab_rt(yd, ud, vd))
             times.append(dt)
             print(f"{tag} slab {d}: {dt*1e3:7.3f} ms", flush=True)

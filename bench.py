@@ -143,28 +143,85 @@ _SYNC_S = [0.0]
 
 
 def _calibrate_sync():
-    """The d2h sync carries a ~25 ms latency floor through the tunnel;
-    at small rep counts it dominates the mean (round <=3 benches baked
-    ~2.5 ms/rep of it into every per-frame number). Measure it on a
-    ready tiny array and subtract it from timed loops."""
+    """The d2h sync carries a ~25-50 ms latency floor through the
+    tunnel AND it varies run to run, so one-shot subtraction is
+    unusable for anything fast (a 46 ms calibration once clamped the
+    conversion kernels to 0.00 ms). Measured here only for the log and
+    as a sanity floor; _time cancels it by construction."""
     import jax.numpy as jnp
     x = jnp.zeros((8, 128), jnp.int32) + 1
     _sync(x)
-    t0 = time.perf_counter()
-    for _ in range(5):
+    samples = []
+    for _ in range(7):
+        t0 = time.perf_counter()
         _sync(x)
-    _SYNC_S[0] = (time.perf_counter() - t0) / 5
-    log(f"d2h sync latency: {_SYNC_S[0]*1e3:.1f} ms (subtracted)")
+        samples.append(time.perf_counter() - t0)
+    _SYNC_S[0] = float(np.median(samples))
+    log(f"d2h sync latency: {_SYNC_S[0]*1e3:.1f} ms "
+        f"(median of 7; cancelled by slope timing)")
 
 
-def _time(fn, reps=REPS, sync=_sync):
+def _time(fn, reps=REPS, sync=_sync, pairs=3):
+    """Per-rep wall time by SLOPE: each estimate times a reps-window
+    and a 2*reps-window (one sync each) and differences them, so the
+    sync latency cancels exactly instead of being subtracted from a
+    separately-calibrated (and drifting) estimate. Median of ``pairs``
+    estimates bounds the tunnel's run-to-run latency variance."""
     r = fn()
     sync(r)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        r = fn()
+    est = []
+    for _ in range(pairs):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = fn()
+        sync(r)
+        t1 = time.perf_counter()
+        for _ in range(2 * reps):
+            r = fn()
+        sync(r)
+        t2 = time.perf_counter()
+        est.append(((t2 - t1) - (t1 - t0)) / reps)
+    return max(float(np.median(est)), 1e-9)
+
+
+def _xd():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "xplane_dump", str(REPO / "tools" / "xplane_dump.py"))
+    xd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(xd)
+    return xd
+
+
+def _device_time(fn, reps=REPS, sync=_sync):
+    """Per-rep DEVICE time via an xplane trace: the only reliable way
+    to time sub-ms executables on this box (wall windows are floored by
+    per-execute tunnel issue overhead — see SCALING_TAIL.json note)."""
+    import glob
+    import tempfile
+
+    import jax
+    xd = _xd()
+    r = fn()
     sync(r)
-    return max(time.perf_counter() - t0 - _SYNC_S[0], 1e-9) / reps
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            for _ in range(reps):
+                r = fn()
+            sync(r)
+        pb = sorted(glob.glob(td + "/plugins/profile/*/*.xplane.pb"))[-1]
+        buf = open(pb, "rb").read()
+    total = 0.0
+    for fno, _, v in xd.fields(buf):
+        if fno != 1:
+            continue
+        name, meta, agg, _ = xd.parse_plane(v)
+        if "TPU" not in name:
+            continue
+        for (lname, mid), ms in agg.items():
+            if lname == "XLA Modules":
+                total += ms
+    return total / reps / 1e3
 
 
 def bench_device_4k(planes_np, qts, cont=None):
@@ -277,12 +334,14 @@ def bench_conversions(planes_np):
     conv_ok = (np.array_equal(np.asarray(y), wy)
                and np.array_equal(np.asarray(u), wu)
                and np.array_equal(np.asarray(v), wv))
-    fwd_s = _time(lambda: j_fwd(bdev)[0], reps=5)
+    # sub-ms kernels: device time from xplane (wall windows through the
+    # tunnel are floored by per-execute issue overhead)
+    fwd_s = _device_time(lambda: j_fwd(bdev)[0], reps=10)
     planes = [jnp.asarray(p) for p in planes_np]
     out = j_inv(*planes)
     want = scalar.iyuv_to_bgrx(*planes_np)
     conv_ok = conv_ok and np.array_equal(np.asarray(out), want)
-    inv_s = _time(lambda: j_inv(*planes), reps=5)
+    inv_s = _device_time(lambda: j_inv(*planes), reps=10)
     return fwd_s, inv_s, conv_ok
 
 
@@ -316,14 +375,20 @@ def bench_device_batch_1080p(qts):
     _sync(ry)
     if not bool(ok):
         return None, 0, 0
-    # measure what we report: frames = meas * BATCH_B, stated in the JSON
+    # measure what we report: frames = meas * BATCH_B, stated in the
+    # JSON; slope between a meas- and a 2*meas-window cancels the sync
     meas = max(4, REPS)
     t0 = time.perf_counter()
     for i in range(meas):
         ry, total, ok = rt(i + 1)
     _sync(ry)
-    per_frame = (time.perf_counter() - t0 - _SYNC_S[0]) / (meas * BATCH_B)
-    return per_frame, int(total), meas * BATCH_B
+    t1 = time.perf_counter()
+    for i in range(2 * meas):
+        ry, total, ok = rt(meas + i + 1)
+    _sync(ry)
+    t2 = time.perf_counter()
+    per_frame = max((t2 - t1) - (t1 - t0), 1e-9) / (meas * BATCH_B)
+    return per_frame, int(total), 3 * meas * BATCH_B
 
 
 def bench_stages(planes_np, qts):
@@ -524,8 +589,8 @@ def main() -> int:
     conv_fwd_s = conv_inv_s = conv_ok = None
     try:
         conv_fwd_s, conv_inv_s, conv_ok = bench_conversions(planes_np)
-        log(f"conversions: bgrx->iyuv {conv_fwd_s*1e3:.2f} ms, "
-            f"iyuv->bgrx {conv_inv_s*1e3:.2f} ms, bit-exact={conv_ok}")
+        log(f"conversions (device time): bgrx->iyuv {conv_fwd_s*1e3:.2f} "
+            f"ms, iyuv->bgrx {conv_inv_s*1e3:.2f} ms, bit-exact={conv_ok}")
     except Exception as e:
         log("conversion bench failed:", e)
 

@@ -12,7 +12,10 @@ Run variants in separate invocations if compile time crowds the 600 s
 command cap — the persistent cache keeps finished ones warm.
 """
 
+import glob
+import importlib.util
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -32,11 +35,40 @@ from myyuv_tpu.engine import batch as eb  # noqa: E402
 from myyuv_tpu.entropy import pallas_encode8 as pe8  # noqa: E402
 from myyuv_tpu.kernels import pallas_dct8 as p8  # noqa: E402
 
-VARIANTS = ["full", "serial", "lut", "merge", "frontonly"]
+VARIANTS = ["full", "serial", "lut", "merge", "frontonly", "dct"]
 
 
 def sync(x):
     np.asarray(x.ravel()[:1])
+
+
+def device_time(fn, reps=20):
+    """Per-rep device time of fn's executables via an xplane trace."""
+    import jax
+    spec = importlib.util.spec_from_file_location(
+        "xplane_dump", str(REPO / "tools" / "xplane_dump.py"))
+    xd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(xd)
+    out = fn()
+    sync(out)
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            for _ in range(reps):
+                out = fn()
+            sync(out)
+        pb = sorted(glob.glob(td + "/plugins/profile/*/*.xplane.pb"))[-1]
+        buf = open(pb, "rb").read()
+    total = 0.0
+    for fno, _, v in xd.fields(buf):
+        if fno != 1:
+            continue
+        name, _meta, agg, _ = xd.parse_plane(v)
+        if "TPU" not in name:
+            continue
+        for (lname, _mid), ms in agg.items():
+            if lname == "XLA Modules":
+                total += ms
+    return total / reps / 1e3
 
 
 def main():
@@ -68,24 +100,30 @@ def main():
 
     times = {}
     for name in names:
-        ab = "" if name == "full" else name
+        if name == "dct":
+            # standalone DCT+quantize kernel (same pair output the
+            # fused kernel computes in VMEM): front(sort) cost =
+            # frontonly - dct
+            def run():
+                return p8.dct_quantize_words(xw, qtx, pids)
+        else:
+            ab = "" if name == "full" else name
 
-        def run(ab=ab):
-            return pe8.dct_encode_words_packed(xw, qtx, pids, cont=8,
-                                               ablate=ab)
+            def run(ab=ab):
+                return pe8.dct_encode_words_packed(xw, qtx, pids, cont=8,
+                                                   ablate=ab)
 
         t0 = time.perf_counter()
         out = run()
         sync(out[0])
         compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for _ in range(10):
-            out = run()
-        sync(out[0])
-        dt = (time.perf_counter() - t0) / 10
+        # DEVICE time via xplane: wall windows carry the tunnel's
+        # 25-50 ms (and drifting) sync latency, which swamps sub-ms
+        # phase deltas
+        dt = device_time(lambda: run()[0])
         times[name] = dt
-        print(f"{name:10s}: {dt*1e3:7.3f} ms  (first call {compile_s:.1f} s)",
-              flush=True)
+        print(f"{name:10s}: {dt*1e3:7.3f} ms device "
+              f"(first call {compile_s:.1f} s)", flush=True)
 
     if "full" in times:
         full = times["full"]
@@ -97,6 +135,10 @@ def main():
         if "frontonly" in times:
             print(f"  front+DCT : {times['frontonly']*1e3:7.3f} ms "
                   f"(the frontonly variant's absolute time)", flush=True)
+        if "dct" in times and "frontonly" in times:
+            print(f"  dct alone : {times['dct']*1e3:7.3f} ms; front sort "
+                  f"= {(times['frontonly']-times['dct'])*1e3:7.3f} ms",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -4,8 +4,11 @@ The sharded codec is collective-free, so real-pod efficiency is bounded
 by PER-CHIP IMBALANCE: the slowest slab's kernels gate the step. This
 measures that directly ON THE REAL CHIP: each of the 8 contiguous 4K
 block-row slabs (exactly the slabs compress_frame_sharded assigns to an
-8-device mesh) is compressed+decompressed alone and timed
-(sync-corrected); the projected ICI efficiency is mean/max slab time.
+8-device mesh) is compressed+decompressed alone and its DEVICE time
+read from an xplane trace (wall-timing sub-ms executables through the
+tunnel is floored by per-execute issue overhead — measured: half-slabs
+"cost" more than full slabs); the projected ICI efficiency is mean/max
+slab device time.
 
 Also measures the INTERLEAVED assignment (device d takes every 8th
 block row) as the candidate mitigation — content statistics even out
@@ -21,8 +24,11 @@ Usage: python tools/exp_r4scale.py [n_dev]
 """
 
 import functools
+import glob
+import importlib.util
 import json
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -52,19 +58,47 @@ def sync(x):
 _SYNC = [0.0]
 
 
-def timeit(fn, reps=20):
+def _xplane_dump():
+    spec = importlib.util.spec_from_file_location(
+        "xplane_dump", str(REPO / "tools" / "xplane_dump.py"))
+    xd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(xd)
+    return xd
+
+
+XD = None
+
+
+def device_time(fn, reps=20):
+    """Per-rep DEVICE time of fn's executables via an xplane trace."""
+    import jax
     out = fn()
     sync(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn()
-    sync(out)
-    return max((time.perf_counter() - t0) - _SYNC[0], 1e-9) / reps
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            for _ in range(reps):
+                out = fn()
+            sync(out)
+        pb = sorted(glob.glob(td + "/plugins/profile/*/*.xplane.pb"))[-1]
+        buf = open(pb, "rb").read()
+    total = 0.0
+    for fno, _, v in XD.fields(buf):
+        if fno != 1:
+            continue
+        name, meta, agg, _ = XD.parse_plane(v)
+        if "TPU" not in name:
+            continue
+        for (lname, mid), ms in agg.items():
+            if lname == "XLA Modules" and "slab_" in meta.get(mid, ""):
+                total += ms
+    return total / reps / 1e3  # seconds per rep
 
 
 def main():
     import bench
 
+    global XD
+    XD = _xplane_dump()
     print("devices:", jax.devices(), flush=True)
     x = jnp.zeros((8, 128), jnp.int32) + 1
     sync(x)
@@ -110,7 +144,8 @@ def main():
             yd, ud, vd = (jnp.asarray(yd), jnp.asarray(ud),
                           jnp.asarray(vd))
             sync(yd)
-            dt = timeit(lambda yd=yd, ud=ud, vd=vd: slab_rt(yd, ud, vd))
+            dt = device_time(
+                lambda yd=yd, ud=ud, vd=vd: slab_rt(yd, ud, vd))
             times.append(dt)
             print(f"{tag} slab {d}: {dt*1e3:7.3f} ms", flush=True)
         tmax, tmean = max(times), sum(times) / len(times)
@@ -138,12 +173,29 @@ def main():
     t_int, eff_int = measure(
         "interleaved", list(zip(iy, iu, iv)))
 
-    print(json.dumps({
+    out = {
         "metric": "slab_imbalance_real_chip", "n_dev": NDEV,
+        "timing": "device (xplane), per-slab-alone",
         "contiguous_ms": [round(t * 1e3, 3) for t in t_cont],
         "contiguous_projected_eff": round(eff_cont, 4),
         "interleaved_ms": [round(t * 1e3, 3) for t in t_int],
-        "interleaved_projected_eff": round(eff_int, 4)}), flush=True)
+        "interleaved_projected_eff": round(eff_int, 4)}
+
+    # projections at NDEV//2 from the same measurement: contiguous
+    # pairing (d gets half-slabs 2d, 2d+1 — the production assignment)
+    # vs mirrored pairing (d gets d and N-1-d — balances monotone
+    # content gradients while keeping each half-slab contiguous)
+    if NDEV % 2 == 0:
+        half = NDEV // 2
+        cp = [t_cont[2 * d] + t_cont[2 * d + 1] for d in range(half)]
+        mp = [t_cont[d] + t_cont[NDEV - 1 - d] for d in range(half)]
+        out["pair_contiguous_eff"] = round(
+            (sum(cp) / half) / max(cp), 4)
+        out["pair_mirrored_eff"] = round((sum(mp) / half) / max(mp), 4)
+        print(f"pairing @{half} dev: contiguous "
+              f"{out['pair_contiguous_eff']:.3f} vs mirrored "
+              f"{out['pair_mirrored_eff']:.3f}", flush=True)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

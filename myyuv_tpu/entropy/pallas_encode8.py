@@ -61,6 +61,19 @@ def _su8(x, j):
         [x[8 * j:], jnp.zeros((8 * j, x.shape[1]), x.dtype)], axis=0)
 
 
+def _sd8f(x, j, fill):
+    """Group shift down with an explicit fill value for the low groups
+    (folds the scans' boundary-guard adds into the shift)."""
+    return jnp.concatenate(
+        [jnp.full((8 * j, x.shape[1]), fill, x.dtype), x[:-8 * j]], axis=0)
+
+
+def _su8f(x, j, fill):
+    """Group shift up with an explicit fill value for the top groups."""
+    return jnp.concatenate(
+        [x[8 * j:], jnp.full((8 * j, x.shape[1]), fill, x.dtype)], axis=0)
+
+
 def _tile_g(x, groups):
     """[8, TP] -> [groups*8, TP]: row 8g + r reads x[r] (cycle tiling;
     doubles then trims, so any group count works)."""
@@ -99,19 +112,33 @@ def _grp_read(x, gidx, groups):
     return V
 
 
-def _bitonic8(key, ig):
+def _bitonic8(key):
     """Ascending bitonic sort of the row GROUPS, elementwise per (sublane,
-    lane) block slot. ``ig`` is the group-index iota; partner x[g^j] comes
-    from a select of two static group shifts (j a power of two)."""
+    lane) block slot.
+
+    Each compare-exchange level is emitted as STATIC REGION SLICES: for
+    stride j, groups [a, a+j) pair with [a+j, a+2j) and the direction is
+    uniform per 2j-block ((a & k) selects it), so the step is one
+    min and one max over each slice pair, concatenated back in place —
+    no partner materialization (two full group shifts) and no blend
+    select. Same comparison network, same results, ~3x fewer vector ops
+    per level than the shift+select formulation."""
     rows = key.shape[0] // 8
     k = 2
     while k <= rows:
         j = k >> 1
         while j >= 1:
-            partner = jnp.where((ig & j) == 0, _su8(key, j), _sd8(key, j))
-            keep_min = ((ig & k) == 0) == ((ig & j) == 0)
-            key = jnp.where(keep_min, jnp.minimum(key, partner),
-                            jnp.maximum(key, partner))
+            pieces = []
+            for a in range(0, rows, 2 * j):
+                A = key[8 * a:8 * (a + j)]
+                B = key[8 * (a + j):8 * (a + 2 * j)]
+                if (a & k) == 0:
+                    pieces.append(jnp.minimum(A, B))
+                    pieces.append(jnp.maximum(A, B))
+                else:
+                    pieces.append(jnp.maximum(A, B))
+                    pieces.append(jnp.minimum(A, B))
+            key = jnp.concatenate(pieces, axis=0)
             j >>= 1
         k <<= 1
     return key
@@ -168,23 +195,22 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref,
         vals = jnp.concatenate(
             [jnp.where(vlo[:8 * half], lo[:8 * half] + 1024, BIG),
              jnp.where(vhi[:8 * half], hi[:8 * half] + 1024, BIG)], axis=0)
-        svals = _bitonic8(vals, ig)
+        svals = _bitonic8(vals)
         valid_s = svals < BIG
         prevv = _sd8(svals, 1)
         run_start0 = valid_s & ((ig == 0) | (svals != prevv))
         bnd0 = run_start0 | ~valid_s
         bpos0 = jnp.where(bnd0, ig, 99)
-        nxt0 = _su8(bpos0, 1) + jnp.where(ig >= mrows - 1, 99, 0)
+        nxt0 = _su8f(bpos0, 1, 99)
         st = 1
         while st < mrows:
-            nxt0 = jnp.minimum(nxt0, _su8(nxt0, st) +
-                               jnp.where(ig >= mrows - st, 99, 0))
+            nxt0 = jnp.minimum(nxt0, _su8f(nxt0, st, 99))
             st <<= 1
         nxt0 = jnp.minimum(nxt0, mrows)
         cnt0 = nxt0 - ig                              # valid at run starts
         n_sym = _fold_sum(run_start0.astype(I32))
         leafkey = _bitonic8(
-            jnp.where(run_start0, cnt0 * 4096 + svals, BIG), ig)
+            jnp.where(run_start0, cnt0 * 4096 + svals, BIG))
         if mrows < 64:
             leafkey = jnp.concatenate(
                 [leafkey, jnp.full((8 * (64 - mrows), tp), BIG, I32)],
@@ -287,7 +313,7 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref,
 
         # ---- canonical (len, sym) order + Kraft codes -------------------
         key2 = jnp.where(in_rows, leaf_len * 4096 + leafsym + 1024, BIG)
-        key2 = _bitonic8(key2, ig)
+        key2 = _bitonic8(key2)
         len_c = jnp.where(in_rows, key2 >> 12, 0)
         sym_c = jnp.where(in_rows, (key2 & 4095) - 1024, 0)
         ok = _fold_min(jnp.where(
@@ -312,22 +338,20 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref,
         scr_ref[0:R, :] = canrec
 
         # ---- group structure over canonical rows (Huffman.cpp:300-316) --
-        prev_len = _sd8(len_c, 1) + jnp.where(ig == 0, -1, 0)
+        prev_len = _sd8f(len_c, 1, -1)
         run_start = in_rows & (len_c != prev_len)
         lrs = jnp.where(run_start, ig, -1)
         s = 1
         while s < rows:
-            lrs = jnp.maximum(lrs, _sd8(lrs, s) +
-                              jnp.where(ig < s, -64, 0))
+            lrs = jnp.maximum(lrs, _sd8f(lrs, s, -64))
             s <<= 1
         idx_in_run = ig - lrs
         grp_start = in_rows & (run_start | ((idx_in_run & 31) == 0))
         bpos = jnp.where(run_start | ~in_rows, ig, 99)
-        nxt = _su8(bpos, 1) + jnp.where(ig >= rows - 1, 99, 0)
+        nxt = _su8f(bpos, 1, 99)
         s = 1
         while s < rows:
-            nxt = jnp.minimum(nxt, _su8(nxt, s) +
-                              jnp.where(ig >= rows - s, 99, 0))
+            nxt = jnp.minimum(nxt, _su8f(nxt, s, 99))
             s <<= 1
         nxt = jnp.minimum(nxt, rows)
         gcnt = jnp.minimum(nxt, ig + 32) - ig         # valid at grp_start

@@ -215,11 +215,15 @@ def _device_time(fn, reps=REPS, sync=_sync):
     for fno, _, v in xd.fields(buf):
         if fno != 1:
             continue
-        name, meta, agg, _ = xd.parse_plane(v)
+        name, meta, agg, cnt = xd.parse_plane(v)
         if "TPU" not in name:
             continue
         for (lname, mid), ms in agg.items():
-            if lname == "XLA Modules":
+            # count only modules that executed (about) once per rep:
+            # the trailing sync's d2h slice compiles a relayout module
+            # that runs ONCE but can cost ~10 ms device for odd-layout
+            # outputs, inflating reps=10 measurements by ~1 ms/rep
+            if lname == "XLA Modules" and cnt[(lname, mid)] >= reps // 2:
                 total += ms
     return total / reps / 1e3
 

@@ -559,6 +559,20 @@ def main() -> int:
     except Exception as e:
         log("stream compress bench failed:", e)
 
+    # --- production pipelines: ingest / preview chains --------------------
+    ingest_fps = preview_fps = None
+    try:
+        from myyuv_tpu.engine import streaming as _streaming
+        ingest_fps, preview_fps, pipe_ok = \
+            _streaming.sustained_pipeline_fps(planes_np, qts)
+        log(f"sustained ingest (BGRX->IYUV->compress): {ingest_fps:.1f} "
+            f"frames/s; preview (stream->IYUV->BGRX): {preview_fps:.1f} "
+            f"frames/s, ok={pipe_ok}")
+        if not pipe_ok:
+            ingest_fps = preview_fps = None
+    except Exception as e:
+        log("pipeline bench failed:", e)
+
     # --- fused single-executable roundtrip (transcode entry) --------------
     fused_s = None
     try:
@@ -711,6 +725,10 @@ def main() -> int:
         "sustained_frames_measured": sustained_frames,
         "stream_compress_pull_fps": (round(stream_compress_fps, 2)
                                      if stream_compress_fps else None),
+        "sustained_ingest_fps": (round(ingest_fps, 2)
+                                 if ingest_fps else None),
+        "sustained_preview_fps": (round(preview_fps, 2)
+                                  if preview_fps else None),
         "device_roundtrip_fps": (round(1 / device_s, 2)
                                  if device_s else None),
         "device_fused_roundtrip_fps": (round(1 / fused_s, 2)

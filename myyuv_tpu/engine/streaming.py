@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..kernels import device as kdev
 from ..runtime.errors import BitstreamError
 from . import device_stream as ds
 
@@ -118,6 +119,92 @@ def sustained_roundtrip_fps(planes_np, qtables, n_frames: int = 112,
             return None, False, None
         elapsed += time.perf_counter() - t0
     return n_frames / elapsed, bool(ok_np.all() or n_retry), int(tot_np[0])
+
+
+_convert_fwd = jax.jit(kdev.bgrx_to_iyuv)
+_convert_inv = jax.jit(kdev.iyuv_to_bgrx)
+
+
+def ingest_stream(frames_bgrx: Sequence, qtables,
+                  precision: str = "exact",
+                  cont: int = ds.CONT_DEFAULT):
+    """The CAPTURE pipeline: BGRX device frames -> colorspace convert ->
+    compress, chained with zero steady-state syncs (the TPU-native
+    version of the reference's capture flow: bmp_to_yuv_map lambda +
+    compress_DCT_planar, myyuv_yuv.cpp:88-127 + DCT.cpp:371-430).
+
+    Returns (ok [N] bool, totals [N] int64, elapsed_s). The compressed
+    interchange tensors drop per frame (a capture deployment would hand
+    them to compress_stream-style pulls; here the metric is chip
+    throughput of the convert+compress chain)."""
+    oks, totals = [], []
+    t0 = time.perf_counter()
+    for px in frames_bgrx:
+        y, u, v = _convert_fwd(px)
+        _cA, _cC, _sizes, total, ok = ds.compress_frame(
+            y, u, v, *qtables, precision=precision, cont=cont)
+        oks.append(ok)
+        totals.append(total)
+    okc = _stack_chunks(oks)
+    totc = _stack_chunks(totals)
+    for c in okc + totc:
+        c.copy_to_host_async()
+    ok_np = np.concatenate([np.asarray(c) for c in okc])
+    tot_np = np.concatenate([np.asarray(c).astype(np.int64)
+                             for c in totc])
+    elapsed = time.perf_counter() - t0
+    return ok_np, tot_np, elapsed
+
+
+def preview_stream(stream_dev: Tuple, qtables, h: int, w: int,
+                   n_frames: int, precision: str = "exact"):
+    """The PLAYBACK pipeline: compressed interchange (device) ->
+    decompress -> RGB preview conversion, chained with zero
+    steady-state syncs (the reference analog: decompress_DCT_planar +
+    the GL viewer's frag_yuv.glsl pass). Returns (ok [N], elapsed_s)."""
+    cA, cC, sizes = stream_dev
+    oks = []
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        y, u, v, ok = ds.decompress_frame(
+            cA, cC, sizes, *qtables, h=h, w=w, precision=precision)
+        _px = _convert_inv(y, u, v)
+        oks.append(ok)
+    okc = _stack_chunks(oks)
+    for c in okc:
+        c.copy_to_host_async()
+    ok_np = np.concatenate([np.asarray(c) for c in okc])
+    elapsed = time.perf_counter() - t0
+    return ok_np, elapsed
+
+
+def sustained_pipeline_fps(planes_np, qtables, n_frames: int = 112,
+                           precision: str = "exact",
+                           cont: int = ds.CONT_DEFAULT):
+    """Sustained fps of the two production pipelines over the golden
+    frame: ingest (BGRX -> IYUV -> compress) and preview (stream ->
+    IYUV -> BGRX). The BGRX input is synthesized on device from the
+    golden planes (iyuv_to_bgrx of the frame being benched), so both
+    chains run real content. Returns (ingest_fps, preview_fps, ok)."""
+    dev = tuple(jnp.asarray(p) for p in planes_np)
+    h, w = planes_np[0].shape
+    px = _convert_inv(*dev)
+    n_frames = -(-n_frames // FLAG_CHUNK) * FLAG_CHUNK
+    # warm both chains (compiles outside the timed regions)
+    ok_w, _, _ = ingest_stream([px] * FLAG_CHUNK, qtables,
+                               precision=precision, cont=cont)
+    cA, cC, sizes, _tot, okc = ds.compress_frame(
+        *dev, *qtables, precision=precision, cont=cont)
+    ok0 = bool(np.asarray(okc)) and bool(ok_w.all())
+    stream_dev = (cA, cC, sizes)
+    preview_stream(stream_dev, qtables, h, w, FLAG_CHUNK,
+                   precision=precision)
+    ok_i, _, t_i = ingest_stream([px] * n_frames, qtables,
+                                 precision=precision, cont=cont)
+    ok_p, t_p = preview_stream(stream_dev, qtables, h, w, n_frames,
+                               precision=precision)
+    ok = ok0 and bool(ok_i.all()) and bool(ok_p.all())
+    return n_frames / t_i, n_frames / t_p, ok
 
 
 def _capw_tier0(qualities, cont: int) -> int:

@@ -123,3 +123,31 @@ def test_sustained_roundtrip_retries_ladder(rng):
     fps, ok_all, total = streaming.sustained_roundtrip_fps(
         planes, qts, n_frames=4)
     assert fps is not None and ok_all
+
+
+def test_ingest_and_preview_streams(rng):
+    """The capture (BGRX -> IYUV -> compress) and playback (stream ->
+    IYUV -> BGRX) chains: flags all-ok and totals identical to the
+    synchronous frame API on the same converted content."""
+    planes = _frame(rng)
+    qts = eb.plane_qtables([50] * 3)
+    h, w = planes[0].shape
+    dev = tuple(jnp.asarray(p) for p in planes)
+    px = streaming._convert_inv(*dev)
+    ok, totals, _ = streaming.ingest_stream([px] * 2, qts)
+    assert ok.shape == (2,) and ok.all()
+    y2, u2, v2 = streaming._convert_fwd(px)
+    _, _, _, total, okc = ds.compress_frame(y2, u2, v2, *qts)
+    assert bool(np.asarray(okc))
+    assert totals[0] == int(total) and totals[1] == int(total)
+    cA, cC, sizes, _t, _o = ds.compress_frame(*dev, *qts)
+    okp, _ = streaming.preview_stream((cA, cC, sizes), qts, h, w, 2)
+    assert okp.shape == (2,) and okp.all()
+
+
+def test_sustained_pipeline_fps_small(rng):
+    planes = _frame(rng)
+    qts = eb.plane_qtables([50] * 3)
+    fi, fp, ok = streaming.sustained_pipeline_fps(planes, qts,
+                                                  n_frames=16)
+    assert ok and fi > 0 and fp > 0

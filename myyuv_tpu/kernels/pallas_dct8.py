@@ -398,6 +398,10 @@ def _unpack_mxu(xw: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
     L = wb // 8
     o = xw.reshape(8, 16, ph // 8, L).transpose(2, 0, 1, 3).reshape(
         ph, 2 * wb)
+    # barrier: XLA otherwise sinks the transpose below the byte
+    # extraction and transposes each bf16 byte plane separately (4
+    # materialized copies at 2 B/elem instead of one at 4 B/elem)
+    o = jax.lax.optimization_barrier(o)
     P = _perm_mxu(L)
     v = jnp.zeros((ph, 2 * wb), jnp.int32)
     for j in range(4):
@@ -435,6 +439,7 @@ def _unpack_mxu2(xw: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
     L = wb // 4
     o = xw.reshape(8, 16, ph // 16, L).transpose(2, 0, 1, 3).reshape(
         ph // 2, 16 * L)
+    o = jax.lax.optimization_barrier(o)    # see _unpack_mxu
     Plo, Phi = _perm2_mxu(L, wb)
     A = jnp.zeros((ph // 2, 2 * wb), jnp.int32)
     B = jnp.zeros((ph // 2, 2 * wb), jnp.int32)

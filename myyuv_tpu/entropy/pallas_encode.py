@@ -92,20 +92,29 @@ def _shift_up(x, j):
 def _bitonic(key, iota):
     """Ascending bitonic sort of the rows, elementwise per lane.
 
-    Partner x[r^j]: for rows with bit j clear it is x[r+j], else x[r-j]
-    (both static shifts); the pad rows are never selected. Row count is
-    key.shape[0] (a power of two).
+    Each compare-exchange level is emitted as STATIC REGION SLICES (the
+    pallas_encode8._bitonic8 formulation): rows [a, a+j) pair with
+    [a+j, a+2j), direction uniform per 2j-block, so the level is one
+    min and one max per slice pair, concatenated back in place — no
+    partner materialization, no blend select. ``iota`` is unused (kept
+    for signature stability). Row count is a power of two.
     """
     rows = key.shape[0]
     k = 2
     while k <= rows:
         j = k >> 1
         while j >= 1:
-            partner = jnp.where((iota & j) == 0, _shift_up(key, j),
-                                _shift_down(key, j))
-            keep_min = ((iota & k) == 0) == ((iota & j) == 0)
-            key = jnp.where(keep_min, jnp.minimum(key, partner),
-                            jnp.maximum(key, partner))
+            pieces = []
+            for a in range(0, rows, 2 * j):
+                A = key[a:a + j]
+                B = key[a + j:a + 2 * j]
+                if (a & k) == 0:
+                    pieces.append(jnp.minimum(A, B))
+                    pieces.append(jnp.maximum(A, B))
+                else:
+                    pieces.append(jnp.maximum(A, B))
+                    pieces.append(jnp.minimum(A, B))
+            key = jnp.concatenate(pieces, axis=0)
             j >>= 1
         k <<= 1
     return key

@@ -89,9 +89,11 @@ def _read_group(R, cw, widx):
     return V
 
 
-def _tree_kernel8(w0_ref, wc_ref, sym2_ref, counts_ref, bad_ref,
-                  rec_ref):
-    """Packed flat tree parse.
+def _tree_body(w0_ref, wc_ref, sym2_ref, counts_ref, bad_ref,
+               rec_ref):
+    """Packed flat tree parse (kernel body; output refs may be HBM
+    outputs — _tree_kernel8 — or VMEM scratch — the fused
+    decode+IDCT kernel).
 
     w0 [64, TP] + wc [(CW-8)*8, TP] packed stream words (the split-stream
     interchange's two window regions — concatenated IN VMEM so the XLA
@@ -166,6 +168,26 @@ def _tree_kernel8(w0_ref, wc_ref, sym2_ref, counts_ref, bad_ref,
     sym2_ref[...] = even | (odd << 16)
     counts_ref[...] = jnp.concatenate(counts, axis=0)
     bad_ref[...] = bad
+
+
+def _tree_kernel8(w0_ref, wc_ref, sym2_ref, counts_ref, bad_ref,
+                  rec_ref):
+    """Standalone tree-parse kernel (see _tree_body)."""
+    _tree_body(w0_ref, wc_ref, sym2_ref, counts_ref, bad_ref, rec_ref)
+
+
+def _fused_decode_idct_kernel8(w0_ref, wc_ref, qt_ref, pid_ref,
+                               pix_ref, ok_ref, rec_scr, sym2_scr,
+                               counts_scr, bad_scr, oscr):
+    """Whole decompress in ONE kernel: tree parse -> payload decode ->
+    dequantize+IDCT, with the (sym2, counts, bad) tree tables living
+    only in VMEM scratch (the two-kernel pipeline writes + re-reads
+    them through HBM, and reads the (W0, Wc) window twice)."""
+    from ..kernels.pallas_dct8 import _idct_words, _qt_select
+    _tree_body(w0_ref, wc_ref, sym2_scr, counts_scr, bad_scr, rec_scr)
+    ok_ref[...] = _payload_body(w0_ref, wc_ref, sym2_scr, counts_scr,
+                                bad_scr, oscr)
+    pix_ref[...] = _idct_words(oscr[0:512, :], _qt_select(qt_ref, pid_ref))
 
 
 def _payload_body(w0_ref, wc_ref, sym2_ref, counts_ref,
@@ -366,6 +388,10 @@ def _decode8_idct_raw(W0, Wc, qtx, pids, interpret: bool, tile: int,
     if pids.shape[1] < ntp:
         pids = jnp.concatenate(
             [pids, jnp.zeros((1, ntp - pids.shape[1]), I32)], axis=1)
+    if ntp % tile_pi:
+        # NTP is padded to ``tile`` only; a coarser payload tile would
+        # leave a short (or zero) grid and silently skip columns
+        tile_pi = tile
     wcr = Wc.shape[0]
     sym2, counts, tbad = pl.pallas_call(
         _tree_kernel8,
@@ -399,6 +425,58 @@ def _decode8_idct_raw(W0, Wc, qtx, pids, interpret: bool, tile: int,
         interpret=interpret,
     )(W0, Wc, sym2, counts, tbad, qtx, pids)
     return pixw, ok
+
+
+def _decode8_idct_fused_raw(W0, Wc, qtx, pids, interpret: bool,
+                            tile: int):
+    """One-kernel decompress driver (see _fused_decode_idct_kernel8):
+    same contract as _decode8_idct_raw."""
+    np8 = W0.shape[1]
+    pad = (-np8) % tile
+    if pad:
+        fill0 = jnp.zeros((64, pad), I32).at[0:8, :].set(_FILLER_W0)
+        W0 = jnp.concatenate([W0, fill0], axis=1)
+        Wc = jnp.concatenate(
+            [Wc, jnp.zeros((Wc.shape[0], pad), I32)], axis=1)
+    ntp = W0.shape[1]
+    if pids.shape[1] < ntp:
+        pids = jnp.concatenate(
+            [pids, jnp.zeros((1, ntp - pids.shape[1]), I32)], axis=1)
+    wcr = Wc.shape[0]
+    pixw, ok = pl.pallas_call(
+        _fused_decode_idct_kernel8,
+        out_shape=(jax.ShapeDtypeStruct((128, ntp), I32),
+                   jax.ShapeDtypeStruct((8, ntp), I32)),
+        grid=(ntp // tile,),
+        in_specs=[pl.BlockSpec((64, tile), lambda i: (0, i)),
+                  pl.BlockSpec((wcr, tile), lambda i: (0, i)),
+                  pl.BlockSpec((1536, 1), lambda i: (0, 0)),
+                  pl.BlockSpec((1, tile), lambda i: (0, i))],
+        out_specs=(pl.BlockSpec((128, tile), lambda i: (0, i)),
+                   pl.BlockSpec((8, tile), lambda i: (0, i))),
+        scratch_shapes=[pltpu.VMEM((512, tile), I32),
+                        pltpu.VMEM((256, tile), I32),
+                        pltpu.VMEM((72, tile), I32),
+                        pltpu.VMEM((8, tile), I32),
+                        pltpu.VMEM((528, tile), I32)],
+        interpret=interpret,
+    )(W0, Wc, qtx, pids)
+    return pixw, ok
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def decode_idct_words8_split_fused(W0: jnp.ndarray, Wc: jnp.ndarray,
+                                   qtx: jnp.ndarray, pids: jnp.ndarray,
+                                   interpret: bool = False,
+                                   tile: int | None = None):
+    """Fused one-kernel variant of decode_idct_words8_split (same
+    outputs)."""
+    tile = tile or 512
+    n = W0.shape[1] * 8
+    pixw, ok = _decode8_idct_fused_raw(W0, Wc, qtx, pids, interpret,
+                                       tile)
+    ntp = pixw.shape[1]
+    return pixw, ok.T.reshape(ntp * 8)[:n] != 0
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile"))

@@ -115,3 +115,38 @@ def test_matches_unpacked_on_golden_stream():
                                            interpret=True, tile=TILE)
     assert np.asarray(ok).all()
     np.testing.assert_array_equal(np.asarray(dec), want)
+
+
+def test_fused_matches_two_kernel(rng):
+    """The one-kernel tree+payload+IDCT decompress variant reproduces
+    decode_idct_words8_split exactly (interpret mode)."""
+    from myyuv_tpu.entropy.pallas_decode import _pack_words
+    from myyuv_tpu.kernels import pallas_dct8, scalar
+
+    n = 8 * TILE
+    coeffs = _blocks(rng, n)
+    np.clip(coeffs, -1023, 1023, out=coeffs)
+    sizes, content = encode_blocks_py(coeffs)
+    lanes = DCTPlaneStream(sizes, content).to_lanes()
+    words, _ = _pack_words(jnp.asarray(lanes))
+    wordsp = pallas_decode8.pack8_rows(words)
+    W0, Wc = wordsp[:64], wordsp[64:]
+    qt = scalar.plane_qtable(0, 50)
+    qtx = pallas_dct8.expand_qtables([jnp.asarray(qt)] * 3)
+    pids = jnp.zeros((1, W0.shape[1]), jnp.int32)
+    want_pix, want_ok = pallas_decode8.decode_idct_words8_split(
+        W0, Wc, qtx, pids, interpret=True, tile=TILE)
+    got_pix, got_ok = pallas_decode8.decode_idct_words8_split_fused(
+        W0, Wc, qtx, pids, interpret=True, tile=TILE)
+    np.testing.assert_array_equal(np.asarray(want_ok), np.asarray(got_ok))
+    assert np.asarray(got_ok).all()
+    np.testing.assert_array_equal(np.asarray(want_pix),
+                                  np.asarray(got_pix))
+    # anchor both against the scalar model (guards against a broken
+    # grid validating itself — the tile_pi fallback bug)
+    ntp = np.asarray(got_pix).shape[1]
+    by = np.asarray(got_pix).reshape(16, 8, ntp).transpose(2, 1, 0) \
+        .reshape(ntp * 8, 16).view(np.uint8).reshape(ntp * 8, 64)[:n]
+    want = scalar.dequantize_idct_blocks(
+        coeffs.reshape(n, 8, 8), qt).reshape(n, 64)
+    np.testing.assert_array_equal(by, want)

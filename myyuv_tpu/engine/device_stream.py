@@ -30,6 +30,8 @@ host path (engine.pipeline with native entropy).
 from __future__ import annotations
 
 import functools
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -56,6 +58,10 @@ CONT_DEFAULT = 8
 CONT_MID = 24
 CONT_ROOMY = 56
 CONT_LADDER = (CONT_DEFAULT, CONT_MID, CONT_ROOMY)
+# one-kernel decompress (tree+payload+IDCT fused, tree tables in VMEM
+# scratch — entropy/pallas_decode8._fused_decode_idct_kernel8) vs the
+# two-kernel pipeline; byte-identical, selectable for measurement
+DEC8_FUSED = os.environ.get("MYYUV_DEC8_FUSED", "0") == "1"
 # quality at or above which streams are expected to exceed the 64-byte
 # default tier (golden 4K: max chunk 58 B at q70, 71 B at q90) — callers
 # that know the quality start the ladder at CONT_MID
@@ -376,7 +382,10 @@ def _decode_idct_packed(W0, Wc, qt_y, qt_u, qt_v, ny: int, nc: int,
     by8 = b * ny // 8
     bc8 = b * nc // 8
     pids = p8.plane_pids(b * ny, b * nc, W0.shape[1] - n // 8)
-    pixw, ok = pd8.decode_idct_words8_split(W0, Wc, qtx, pids)
+    if DEC8_FUSED:
+        pixw, ok = pd8.decode_idct_words8_split_fused(W0, Wc, qtx, pids)
+    else:
+        pixw, ok = pd8.decode_idct_words8_split(W0, Wc, qtx, pids)
     y = p8.unpack_pixel_words(pixw[:, :by8], b * h, w)
     # U and V unpack as one row-stacked plane (mirror of the pack side)
     uvp = p8.unpack_pixel_words(pixw[:, by8:by8 + 2 * bc8],

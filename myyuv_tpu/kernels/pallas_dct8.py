@@ -214,9 +214,16 @@ def _dctq_pairs(xw, qp_sel):
     the block-selected qtable rows [512, TP] -> [256, TP] i32 quantized
     coefficient pairs in message order (same scalar op sequence as
     _dct_quantize_kernel8 — bit-exactness preserved). Also used by the
-    fused DCT+Huffman-encode kernel (entropy/pallas_encode8)."""
+    fused DCT+Huffman-encode kernel (entropy/pallas_encode8).
+
+    NO FMA-defeat adds: the round-4 toolchain does not contract
+    mul+add chains into single-rounded FMAs (tools/exp_fma.py measured
+    the bare 8-term chain bit-identical to the host double-rounded
+    sequence; check_tpu_bitexact.py carries the sentinel probe), so
+    the bare chain IS the reference's mulss/addss sequence. If the
+    sentinel ever fails, restore the `+ z` (z = runtime zero) after
+    every product — see kernels/device._seq_matmul."""
     qp = qp_sel.astype(F32)
-    z = qp[0, 0] * F32(0)
 
     xs = [None] * 64
     for k in range(16):
@@ -226,16 +233,16 @@ def _dctq_pairs(xw, qp_sel):
     ts = [None] * 64
     for i in range(8):
         for j in range(8):
-            acc = (F32(float(_C_NP[i, 0])) * xs[j]) + z
+            acc = F32(float(_C_NP[i, 0])) * xs[j]
             for k in range(1, 8):
-                acc = acc + ((F32(float(_C_NP[i, k])) * xs[8 * k + j]) + z)
+                acc = acc + (F32(float(_C_NP[i, k])) * xs[8 * k + j])
             ts[8 * i + j] = acc
     cs = [None] * 64
     for i in range(8):
         for j in range(8):
-            acc = (ts[8 * i] * F32(float(_C_NP[j, 0]))) + z
+            acc = ts[8 * i] * F32(float(_C_NP[j, 0]))
             for k in range(1, 8):
-                acc = acc + ((ts[8 * i + k] * F32(float(_C_NP[j, k]))) + z)
+                acc = acc + (ts[8 * i + k] * F32(float(_C_NP[j, k])))
             cs[8 * i + j] = acc
     coef = jnp.concatenate([cs[int(_ZZ[p])] for p in range(64)], axis=0)
     qz = jnp.concatenate([qp[8 * int(_ZZ[p]):8 * int(_ZZ[p]) + 8, :]
@@ -257,25 +264,26 @@ def _idct_words(co, qp_sel):
     VALUES + block-selected qtable rows [512, TP] -> [128, TP] i32 pixel
     quad words (same scalar op sequence as _dequantize_idct_kernel8 —
     bit-exactness preserved). Also used by the fused Huffman-decode+IDCT
-    kernel (entropy/pallas_decode8)."""
+    kernel (entropy/pallas_decode8).
+
+    NO FMA-defeat adds — see _dctq_pairs."""
     qp = qp_sel.astype(F32)
-    z = qp[0, 0] * F32(0)
 
     xs = [co[8 * int(_IZZ[e]):8 * int(_IZZ[e]) + 8, :]
           .astype(F32) * qp[8 * e:8 * e + 8, :] for e in range(64)]
     ts = [None] * 64
     for i in range(8):
         for j in range(8):
-            acc = (F32(float(_C_NP[0, i])) * xs[j]) + z
+            acc = F32(float(_C_NP[0, i])) * xs[j]
             for k in range(1, 8):
-                acc = acc + ((F32(float(_C_NP[k, i])) * xs[8 * k + j]) + z)
+                acc = acc + (F32(float(_C_NP[k, i])) * xs[8 * k + j])
             ts[8 * i + j] = acc
     ps = [None] * 64
     for i in range(8):
         for j in range(8):
-            acc = (ts[8 * i] * F32(float(_C_NP[0, j]))) + z
+            acc = ts[8 * i] * F32(float(_C_NP[0, j]))
             for k in range(1, 8):
-                acc = acc + ((ts[8 * i + k] * F32(float(_C_NP[k, j]))) + z)
+                acc = acc + (ts[8 * i + k] * F32(float(_C_NP[k, j])))
             ps[8 * i + j] = acc
     pix = jnp.concatenate(ps, axis=0)
     r = jnp.clip(kdev.round_half_away(pix).astype(I32) + 128, 0, 255)

@@ -73,6 +73,35 @@ def main():
     print("iyuv_to_bgrx:", "PASS" if ok else "FAIL")
     fails += 0 if ok else 1
 
+    # FMA-contraction sentinel: the production pallas_dct8 kernels carry
+    # NO runtime-zero defeat (round-4 toolchain does not contract
+    # mul+add — tools/exp_fma.py); if Mosaic ever contracts again, the
+    # bare 8-term chain diverges from the host double-rounded sequence
+    # and the defeat must be restored in pallas_dct8._dctq_pairs /
+    # _idct_words.
+    from jax.experimental import pallas as pl
+    from myyuv_tpu.kernels.constants import DCT_MATRIX8
+    Crow = np.asarray(DCT_MATRIX8, np.float32)[1]
+
+    def chain(x_ref, o_ref):
+        xs = [x_ref[8 * k:8 * k + 8, :] for k in range(8)]
+        acc = jnp.float32(float(Crow[0])) * xs[0]
+        for k in range(1, 8):
+            acc = acc + (jnp.float32(float(Crow[k])) * xs[k])
+        o_ref[...] = acc
+
+    xs = rng.standard_normal((64, 1024)).astype(np.float32) * 128
+    got = np.asarray(jax.jit(lambda: pl.pallas_call(
+        chain, out_shape=jax.ShapeDtypeStruct((8, 1024), jnp.float32))(
+            jnp.asarray(xs)))())
+    acc = Crow[0] * xs[0:8]
+    for k in range(1, 8):
+        acc = acc + Crow[k] * xs[8 * k:8 * k + 8]
+    ok = (got.view(np.uint32) == acc.view(np.uint32)).all()
+    print("fma-contraction sentinel (bare chain == double-rounded):",
+          "PASS" if ok else "FAIL — restore the runtime-zero defeat!")
+    fails += 0 if ok else 1
+
     print("TPU BIT-EXACT:", "ALL PASS" if fails == 0 else f"{fails} FAILURES")
     return 0 if fails == 0 else 1
 

@@ -559,6 +559,19 @@ def main() -> int:
     except Exception as e:
         log("stream compress bench failed:", e)
 
+    # --- scan-batched roundtrips (K frames per dispatch) ------------------
+    scan_fps = None
+    try:
+        from myyuv_tpu.engine import streaming as _streaming
+        scan_fps, scan_ok, _sc_tot = _streaming.sustained_scan_fps(
+            planes_np, qts, n_frames=64, k=8)
+        log(f"scan-batched roundtrips (8 frames/dispatch): "
+            f"{scan_fps:.1f} frames/s, ok={scan_ok}")
+        if not scan_ok:
+            scan_fps = None
+    except Exception as e:
+        log("scan bench failed:", e)
+
     # --- production pipelines: ingest / preview chains --------------------
     ingest_fps = preview_fps = None
     try:
@@ -725,6 +738,7 @@ def main() -> int:
         "sustained_frames_measured": sustained_frames,
         "stream_compress_pull_fps": (round(stream_compress_fps, 2)
                                      if stream_compress_fps else None),
+        "scan_4k_fps": (round(scan_fps, 2) if scan_fps else None),
         "sustained_ingest_fps": (round(ingest_fps, 2)
                                  if ingest_fps else None),
         "sustained_preview_fps": (round(preview_fps, 2)

@@ -550,6 +550,30 @@ def roundtrip_frame(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     return ry, ru, rv, total, ok & dok
 
 
+@functools.partial(jax.jit, static_argnames=("precision", "cont"))
+def roundtrip_scan(ys, us, vs, qt_y, qt_u, qt_v,
+                   precision: str = "exact", cont: int = CONT_DEFAULT):
+    """K whole-frame roundtrips in ONE executable via ``lax.scan`` over
+    stacked frames ([K, H, W] / [K, H/2, W/2] x2) -> (totals [K] i64,
+    ok [K] bool).
+
+    Each scan iteration runs the SAME frame-geometry codec body (no
+    cross-frame padding — the failure mode of the concatenated 4K
+    batch, PERF_NOTES round-3 negative results), so K frames cost one
+    host dispatch. This is the honest chip-bound sustained number on
+    links where per-execute dispatch is expensive; recon planes stay
+    in the loop body (transcode/RD semantics, like
+    streaming.roundtrip_stream)."""
+    def body(carry, fr):
+        y, u, v = fr
+        _ry, _ru, _rv, total, ok = roundtrip_frame(
+            y, u, v, qt_y, qt_u, qt_v, precision=precision, cont=cont)
+        return carry, (total, ok)
+
+    _, (totals, oks) = jax.lax.scan(body, jnp.int32(0), (ys, us, vs))
+    return totals, oks
+
+
 def roundtrip_batch(y, u, v, qtables, precision: str = "exact"):
     """On-chip roundtrip of a [B, ...] frame batch; returns device arrays
     (recon planes, total compressed bytes, ok)."""

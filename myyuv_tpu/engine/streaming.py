@@ -207,6 +207,38 @@ def sustained_pipeline_fps(planes_np, qtables, n_frames: int = 112,
     return n_frames / t_i, n_frames / t_p, ok
 
 
+def sustained_scan_fps(planes_np, qtables, n_frames: int = 112,
+                       k: int = 8, precision: str = "exact",
+                       cont: int = ds.CONT_DEFAULT):
+    """Sustained fps of the scan-batched roundtrip executable
+    (ds.roundtrip_scan: K frames per dispatch — the chip-bound number
+    on links with expensive per-execute dispatch). Returns
+    (fps, ok_all, total_bytes_frame0)."""
+    ys = jnp.broadcast_to(jnp.asarray(planes_np[0]),
+                          (k,) + planes_np[0].shape)
+    us = jnp.broadcast_to(jnp.asarray(planes_np[1]),
+                          (k,) + planes_np[1].shape)
+    vs = jnp.broadcast_to(jnp.asarray(planes_np[2]),
+                          (k,) + planes_np[2].shape)
+    n_calls = -(-n_frames // k)
+    # warm (compile outside the timed region)
+    t0s, o0s = ds.roundtrip_scan(ys, us, vs, *qtables,
+                                 precision=precision, cont=cont)
+    np.asarray(o0s)
+    outs = []
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        totals, oks = ds.roundtrip_scan(ys, us, vs, *qtables,
+                                        precision=precision, cont=cont)
+        outs.append((totals, oks))
+    for totals, oks in outs:
+        totals.copy_to_host_async()
+        oks.copy_to_host_async()
+    ok_all = all(bool(np.asarray(oks).all()) for _, oks in outs)
+    elapsed = time.perf_counter() - t0
+    return n_calls * k / elapsed, ok_all, int(np.asarray(outs[0][0])[0])
+
+
 def _capw_tier0(qualities, cont: int) -> int:
     """Start tier for the pull compaction, from the quality/cont hint."""
     if cont > ds.CONT_DEFAULT or (

@@ -151,3 +151,28 @@ def test_sustained_pipeline_fps_small(rng):
     fi, fp, ok = streaming.sustained_pipeline_fps(planes, qts,
                                                   n_frames=16)
     assert ok and fi > 0 and fp > 0
+
+
+def test_roundtrip_scan_matches_frame_api(rng):
+    """K frames per dispatch via lax.scan: totals/ok identical to the
+    per-frame executable."""
+    planes = _frame(rng)
+    qts = eb.plane_qtables([50] * 3)
+    dev = tuple(jnp.asarray(p) for p in planes)
+    _, _, _, total, ok = ds.compress_frame(*dev, *qts)
+    k = 3
+    ys = jnp.broadcast_to(dev[0], (k,) + dev[0].shape)
+    us = jnp.broadcast_to(dev[1], (k,) + dev[1].shape)
+    vs = jnp.broadcast_to(dev[2], (k,) + dev[2].shape)
+    totals, oks = ds.roundtrip_scan(ys, us, vs, *qts)
+    assert np.asarray(oks).all() == bool(np.asarray(ok).all()
+                                         if np.asarray(ok).ndim else ok)
+    assert (np.asarray(totals) == int(total)).all()
+
+
+def test_sustained_scan_fps_small(rng):
+    planes = _frame(rng)
+    qts = eb.plane_qtables([50] * 3)
+    fps, ok, total = streaming.sustained_scan_fps(planes, qts,
+                                                  n_frames=6, k=3)
+    assert ok and fps > 0 and total > 0

@@ -302,7 +302,8 @@ def bench_device_q90(planes_np):
 
     qts90 = eb.plane_qtables([90] * 3)
     dt = None
-    for cont in (ds.CONT_MID, ds.CONT_ROOMY):
+    c0 = ds.cont_for_quality(90)
+    for cont in (t for t in ds.CONT_LADDER if t >= c0):
         dt, total, ry = bench_device_4k(planes_np, qts90, cont=cont)
         if dt is not None:
             break

@@ -55,17 +55,35 @@ ALIGN_W = 8
 # golden 4K frame, max chunk 118 B, with HALF the decode window-refill
 # scan of the roomy tier) or 56 (the 255-byte format maximum).
 CONT_DEFAULT = 8
+CONT_Q90 = 16
 CONT_MID = 24
 CONT_ROOMY = 56
-CONT_LADDER = (CONT_DEFAULT, CONT_MID, CONT_ROOMY)
+CONT_LADDER = (CONT_DEFAULT, CONT_Q90, CONT_MID, CONT_ROOMY)
 # one-kernel decompress (tree+payload+IDCT fused, tree tables in VMEM
 # scratch — entropy/pallas_decode8._fused_decode_idct_kernel8) vs the
 # two-kernel pipeline; byte-identical, selectable for measurement
 DEC8_FUSED = os.environ.get("MYYUV_DEC8_FUSED", "0") == "1"
 # quality at or above which streams are expected to exceed the 64-byte
 # default tier (golden 4K: max chunk 58 B at q70, 71 B at q90) — callers
-# that know the quality start the ladder at CONT_MID
+# that know the quality start the ladder higher (cont_for_quality)
 QUALITY_MID_TIER = 85
+# q95+ content can exceed the 96-byte q90 tier (q100 golden max chunk
+# 118 B -> the 128-byte CONT_MID tier)
+QUALITY_TOP_TIER = 95
+
+
+def cont_for_quality(qmax: int):
+    """Ladder start tier for a known max plane quality (None = default).
+
+    96-byte chunks (cont=16, window cw=24) cover golden q90's 71-byte
+    max with a 25% smaller decode refill scan and a 33% smaller encoder
+    continuation file than CONT_MID; overflow still retries up the
+    ladder, so the hint only affects speed, never correctness."""
+    if qmax >= QUALITY_TOP_TIER:
+        return CONT_MID
+    if qmax >= QUALITY_MID_TIER:
+        return CONT_Q90
+    return None
 
 # HOST-PULL compaction of region C (the d2h tunnel must not carry the
 # dense C): live continuation rows gathered back to back in block

@@ -61,9 +61,7 @@ def compress_dct(img: yuv.YUVImage, params: bytes,
             # quality picks the emission tier up front: high-q streams
             # carry >64 B chunks, so starting at the 128-byte tier skips
             # the default-tier attempt (and its compile) entirely
-            cont0 = (device_stream.CONT_MID
-                     if int(qualities.max())
-                     >= device_stream.QUALITY_MID_TIER else None)
+            cont0 = device_stream.cont_for_quality(int(qualities.max()))
             streams = [
                 dct_stream.DCTPlaneStream(
                     sizes, np.frombuffer(content.tobytes(), np.uint8))

@@ -68,8 +68,9 @@ def _device_rate(y, u, v, qts, q: int, time_device: bool,
 
     h, w = y.shape
     n = (h // 8) * (w // 8) + 2 * (h // 16) * (w // 16)
-    conts = ((ds.CONT_MID, ds.CONT_ROOMY) if q >= ds.QUALITY_MID_TIER
-             else ds.CONT_LADDER)
+    c0 = ds.cont_for_quality(q)
+    conts = (ds.CONT_LADDER if c0 is None
+             else tuple(t for t in ds.CONT_LADDER if t >= c0))
     cA = cC = sizes = total = None
     for cont in conts:
         cA, cC, sizes, total, ok = ds.compress_frame(

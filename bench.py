@@ -253,16 +253,17 @@ def bench_device_4k(planes_np, qts, cont=None):
 
 
 def bench_sustained(planes_np, qts, n_frames=112):
-    """Sustained streamed roundtrips (engine/streaming.py): K frames in
-    flight, zero steady-state syncs — the honest throughput/chip number
-    (the per-frame-synchronized number pays the tunnel's ~25 ms d2h
-    latency every frame; a direct-attached chip has neither). Uses the
-    same roundtrip_frame executable the fused bench verifies."""
+    """Sustained streamed roundtrips (engine/streaming.py): the
+    PRODUCTION scan-batched executable (8 frames/dispatch) chained with
+    zero steady-state syncs — the honest throughput/chip number (the
+    per-frame-synchronized number pays the tunnel's ~25 ms d2h latency
+    every frame; a direct-attached chip has neither). Every
+    measurement window's fps/ok lands in the JSON (ADVICE r4)."""
     from myyuv_tpu.engine import streaming
 
-    fps, ok, total = streaming.sustained_roundtrip_fps(
+    fps, ok, total, stats = streaming.sustained_roundtrip_fps(
         planes_np, qts, n_frames=n_frames)
-    return fps, ok, total, n_frames
+    return fps, ok, total, n_frames, stats
 
 
 def bench_stream_compress(planes_np, qts, n_frames=8):
@@ -541,12 +542,14 @@ def main() -> int:
 
     # --- sustained streamed roundtrips (K frames in flight) ---------------
     sustained_fps = sustained_frames = None
+    sustained_stats = None
     stream_compress_fps = None
     try:
-        sustained_fps, s_ok, s_total, sustained_frames = bench_sustained(
-            planes_np, qts)
-        log(f"sustained streamed roundtrips ({sustained_frames} frames): "
-            f"{sustained_fps:.1f} frames/s, ok={s_ok}")
+        (sustained_fps, s_ok, s_total, sustained_frames,
+         sustained_stats) = bench_sustained(planes_np, qts)
+        log(f"sustained streamed roundtrips ({sustained_frames} frames, "
+            f"scan-batched): {sustained_fps:.1f} frames/s, ok={s_ok}, "
+            f"windows={sustained_stats}")
         if not s_ok:
             sustained_fps = None
     except Exception as e:
@@ -737,6 +740,7 @@ def main() -> int:
         "sustained_4k_fps": (round(sustained_fps, 2)
                              if sustained_fps else None),
         "sustained_frames_measured": sustained_frames,
+        "sustained_windows": sustained_stats,
         "stream_compress_pull_fps": (round(stream_compress_fps, 2)
                                      if stream_compress_fps else None),
         "scan_4k_fps": (round(scan_fps, 2) if scan_fps else None),
@@ -759,6 +763,10 @@ def main() -> int:
         "conversions_bit_exact": conv_ok,
         "cpu_roundtrip_fps": (round(1 / cpu_s, 2) if cpu_s else None),
         "hybrid_roundtrip_fps": round(1 / hybrid_s, 2),
+        "hybrid_note": ("diagnostic-only: bound by this box's ~19 MB/s "
+                        "d2h tunnel, not by either compute path; on "
+                        "direct-attached PCIe the same transfers are "
+                        "~0.4 ms/frame"),
         "reference_cli_roundtrip_s": (round(baseline_s, 3)
                                       if baseline_s else None),
         "bit_exact_vs_oracle": bitexact,

@@ -385,7 +385,8 @@ def _compact_split(wordsC, A, sizes, ok, capb8_pb: int = CAPB8_DEFAULT):
 
 
 def _decode_idct_packed(W0, Wc, qt_y, qt_u, qt_v, ny: int, nc: int,
-                        b: int, h: int, w: int):
+                        b: int, h: int, w: int,
+                        fused: bool | None = None):
     """Packed window words -> (y, u, v, ok[n]) via the FUSED Huffman
     payload decode + dequantize + IDCT kernel (the message-order
     coefficient canvas lives only in VMEM; the kernel emits pixel QUAD
@@ -400,7 +401,10 @@ def _decode_idct_packed(W0, Wc, qt_y, qt_u, qt_v, ny: int, nc: int,
     by8 = b * ny // 8
     bc8 = b * nc // 8
     pids = p8.plane_pids(b * ny, b * nc, W0.shape[1] - n // 8)
-    if DEC8_FUSED:
+    # ``fused`` defaults to the MYYUV_DEC8_FUSED env read; tools pass it
+    # explicitly so BOTH decode variants get on-device coverage
+    # (ADVICE r4: tools/check_tpu_frame.py exercises each setting)
+    if DEC8_FUSED if fused is None else fused:
         pixw, ok = pd8.decode_idct_words8_split_fused(W0, Wc, qtx, pids)
     else:
         pixw, ok = pd8.decode_idct_words8_split(W0, Wc, qtx, pids)
@@ -444,12 +448,14 @@ def _decode_words8_dispatch(W0, Wc, n: int):
     return coeffs[:n], ok[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "precision"))
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "precision", "fused"))
 def decompress_frame(contentA: jnp.ndarray, contentC: jnp.ndarray,
                      sizes: jnp.ndarray,
                      qt_y: jnp.ndarray, qt_u: jnp.ndarray,
                      qt_v: jnp.ndarray, h: int, w: int,
-                     precision: str = "exact"):
+                     precision: str = "exact",
+                     fused: bool | None = None):
     """Full-frame on-chip decompress of the dense two-region interchange
     -> (y, u, v, ok).
 
@@ -467,7 +473,7 @@ def decompress_frame(contentA: jnp.ndarray, contentC: jnp.ndarray,
     if (precision == "exact" and ny % 8 == 0 and nc % 8 == 0
             and jax.default_backend() not in ("cpu",)):
         y, u, v, ok = _decode_idct_packed(
-            W0, Wc, qt_y, qt_u, qt_v, ny, nc, 1, h, w)
+            W0, Wc, qt_y, qt_u, qt_v, ny, nc, 1, h, w, fused=fused)
         return y, u, v, jnp.all(ok & (sizes_r <= cw // ALIGN_W))
     coeffs, ok = _decode_words8_dispatch(W0, Wc, ny + 2 * nc)
     ok = ok & (sizes_r <= cw // ALIGN_W)
@@ -810,7 +816,8 @@ def _dense_c_np(b_np: np.ndarray, sizes_np: np.ndarray,
 
 
 def decompress_streams_to_frame(streams, qtables_np, h: int, w: int,
-                                precision: str = "exact"):
+                                precision: str = "exact",
+                                fused: bool | None = None):
     """Host API: per-plane (sizes, content) -> (y, u, v) uint8 planes."""
     from .. import native
     sizes_np = np.concatenate([s.astype(np.int32) for s, _ in streams])
@@ -822,7 +829,7 @@ def decompress_streams_to_frame(streams, qtables_np, h: int, w: int,
     y, u, v, ok = decompress_frame(
         jnp.asarray(aT_np), jnp.asarray(c_np), jnp.asarray(sizes_np),
         *[jnp.asarray(q) for q in qtables_np], h=h, w=w,
-        precision=precision)
+        precision=precision, fused=fused)
     if not bool(ok):
         raise BitstreamError("Huffman bad code (device decode)")
     return np.asarray(y), np.asarray(u), np.asarray(v)

@@ -120,9 +120,11 @@ def test_sustained_roundtrip_retries_ladder(rng):
               rng.integers(0, 256, (16, 32)).astype(np.uint8),
               rng.integers(0, 256, (16, 32)).astype(np.uint8))
     qts = eb.plane_qtables([100] * 3)
-    fps, ok_all, total = streaming.sustained_roundtrip_fps(
-        planes, qts, n_frames=4)
+    fps, ok_all, total, stats = streaming.sustained_roundtrip_fps(
+        planes, qts, n_frames=4, k=2, windows=1)
     assert fps is not None and ok_all
+    assert stats["retried_frames"] == 4
+    assert len(stats["windows_fps"]) == 1
 
 
 def test_ingest_and_preview_streams(rng):
@@ -165,8 +167,10 @@ def test_roundtrip_scan_matches_frame_api(rng):
     us = jnp.broadcast_to(dev[1], (k,) + dev[1].shape)
     vs = jnp.broadcast_to(dev[2], (k,) + dev[2].shape)
     totals, oks = ds.roundtrip_scan(ys, us, vs, *qts)
-    assert np.asarray(oks).all() == bool(np.asarray(ok).all()
-                                         if np.asarray(ok).ndim else ok)
+    # the single-frame path must itself succeed, or the equality below
+    # would pass trivially with both paths returning False (ADVICE r4)
+    assert bool(np.asarray(ok).all() if np.asarray(ok).ndim else ok)
+    assert np.asarray(oks).all()
     assert (np.asarray(totals) == int(total)).all()
 
 

@@ -76,14 +76,21 @@ def check_quality(planes, h, w, q):
               "PASS" if ok else "FAIL", flush=True)
         fails += 0 if ok else 1
 
-    gy, gu, gv = ds.decompress_streams_to_frame(
-        [(s.astype(np.uint8), c) for s, c in want_streams], qts_np, h, w)
-    for name, g, wv in (("Y", gy, want_recon[0]), ("U", gu, want_recon[1]),
-                        ("V", gv, want_recon[2])):
-        ok = (np.asarray(g) == wv).all()
-        print(f"q{q} device decompress plane {name}:",
-              "PASS" if ok else "FAIL", flush=True)
-        fails += 0 if ok else 1
+    # both decode variants get on-device coverage (ADVICE r4): the
+    # two-kernel pipeline AND the one-kernel fused decompress, whatever
+    # MYYUV_DEC8_FUSED says
+    for fused in (False, True):
+        gy, gu, gv = ds.decompress_streams_to_frame(
+            [(s.astype(np.uint8), c) for s, c in want_streams],
+            qts_np, h, w, fused=fused)
+        tag = "fused " if fused else ""
+        for name, g, wv in (("Y", gy, want_recon[0]),
+                            ("U", gu, want_recon[1]),
+                            ("V", gv, want_recon[2])):
+            ok = (np.asarray(g) == wv).all()
+            print(f"q{q} device {tag}decompress plane {name}:",
+                  "PASS" if ok else "FAIL", flush=True)
+            fails += 0 if ok else 1
     return fails
 
 

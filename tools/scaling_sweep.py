@@ -108,9 +108,16 @@ def _sweep(mode: str):
 def main() -> int:
     strong = _sweep("strong")
     weak = _sweep("weak")
-    print(json.dumps({"metric": "sharded_codec_scaling",
-                      "host_cores": os.cpu_count(),
-                      "strong": strong, "weak": weak}))
+    cores = os.cpu_count()
+    print(json.dumps({
+        "metric": "sharded_codec_scaling",
+        "host_cores": cores,
+        "note": (f"virtual CPU mesh on {cores} physical cores: points "
+                 f"with n > {cores} timeshare cores and measure the "
+                 "HOST, not the graph — per-device DEVICE-time "
+                 "projections are in SCALING_TAIL.json (0.92+ at n=8 "
+                 "on the real chip)"),
+        "strong": strong, "weak": weak}))
     return 0
 
 

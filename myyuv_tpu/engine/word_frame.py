@@ -1,0 +1,176 @@
+"""Word-contract frames: the i32-packed device-resident frame format.
+
+Round-5 (VERDICT r4 #5). The u8-plane frame contract pays a relayout
+tax at every codec boundary: pack 0.764 + unpack 0.567 ms per 4K frame
+(BENCH_r04 stages) against a ~44 us HBM byte bound, and round 4 proved
+that cost is the local optimum FOR A u8-PLANE CONTRACT (the u8<->i32
+bitcast machinery alone is 0.26 ms/direction; tools/exp_r4pack2/3).
+This module changes the contract instead: a device-resident frame IS
+one packed word tensor
+
+    xw [128, NTP] i32 — pixel quad words in the packed-8 block layout
+    (block b = c*8 + r at sublane r%8 of rows 16k..16k+7, lane column
+    c; 4 consecutive row pixels per word, little-endian — exactly
+    kernels/pallas_dct8.pack_pixel_words' output), columns ordered
+    [Y | U | V] plane-major and right-padded to the Pallas tile.
+
+With frames born in this layout (ingest converts into it, preview
+converts out of it — engine/streaming pipelines), the codec roundtrip
+is the two fused kernels and NOTHING else: compress consumes xw
+verbatim (DCT+quantize+Huffman-encode, entropy/pallas_encode8) and
+decompress emits it verbatim (Huffman-decode+dequantize+IDCT,
+entropy/pallas_decode8). No pack, no unpack, no bitcast machinery.
+
+The pad columns (tile alignment) carry zero-pixel blocks on creation;
+after a roundtrip their content is the codec image of zero blocks —
+consumers address frames through ``unpack_frame``/plane slices, which
+never read pad columns. Reference semantics unchanged: the interchange
+(A, C, sizes) is byte-identical to engine/device_stream.compress_frame
+on the same pixels (same kernels, same inputs), so every oracle-interop
+and bit-exactness guarantee carries over (DCT.cpp:269-335,
+Huffman.cpp:105-154,172-241).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import device_stream as ds
+from ..kernels import pallas_dct8 as p8
+
+
+def frame_cols(h: int, w: int, tile: int | None = None):
+    """(luma columns, chroma columns per plane, padded total NTP) of the
+    packed word layout for an h x w IYUV frame (h, w divisible by 16).
+
+    NTP aligns to the DECODER tile (512, a multiple of the encoder's
+    128) so both fused kernels consume/emit the frame with zero
+    internal re-padding and a roundtrip preserves the tensor shape."""
+    t = tile or p8.TILE
+    ny8 = (h // 8) * (w // 8) // 8
+    nc8 = (h // 16) * (w // 16) // 8
+    ntot = ny8 + 2 * nc8
+    return ny8, nc8, ntot + ((-ntot) % t)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def pack_frame(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+               tile: int | None = None):
+    """u8 planes -> xw [128, NTP] word frame (the format boundary: file
+    loads and legacy plane APIs enter the word contract here)."""
+    h, w = y.shape
+    _, _, ntp = frame_cols(h, w, tile)
+    uv = jnp.concatenate([u, v], axis=0)
+    parts = [p8.pack_pixel_words(y), p8.pack_pixel_words(uv)]
+    xw = jnp.concatenate(parts, axis=1)
+    pad = ntp - xw.shape[1]
+    if pad:
+        xw = jnp.concatenate(
+            [xw, jnp.zeros((128, pad), jnp.int32)], axis=1)
+    return xw
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def unpack_frame(xw: jnp.ndarray, h: int, w: int):
+    """xw word frame -> (y, u, v) u8 planes (pad columns never read)."""
+    ny8, nc8, _ = frame_cols(h, w, 1)
+    yp = p8.unpack_pixel_words(xw[:, :ny8], h, w)
+    uvp = p8.unpack_pixel_words(xw[:, ny8:ny8 + 2 * nc8],
+                                h, w // 2)
+    return yp, uvp[:h // 2], uvp[h // 2:]
+
+
+def _qtx_pids(qt_y, qt_u, qt_v, h: int, w: int,
+              tile: int | None = None):
+    ny8, nc8, ntp = frame_cols(h, w, tile)
+    qtx = p8.expand_qtables((qt_y, qt_u, qt_v))
+    pids = p8.plane_pids(8 * ny8, 8 * nc8, ntp - ny8 - 2 * nc8)
+    return qtx, pids
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "cont", "interpret",
+                                    "tile"))
+def compress_words(xw: jnp.ndarray, qt_y, qt_u, qt_v, h: int, w: int,
+                   cont: int = ds.CONT_DEFAULT,
+                   interpret: bool = False, tile: int | None = None):
+    """Word frame -> (contentA, contentC, sizes, total, ok): the dense
+    two-region interchange, byte-identical to compress_frame on the
+    same pixels. The frame feeds the fused DCT+quantize+Huffman-encode
+    kernel verbatim — compress IS the kernel."""
+    from ..entropy import pallas_encode8 as pe8
+    ny8, nc8, _ = frame_cols(h, w, tile)
+    n = 8 * (ny8 + 2 * nc8)
+    qtx, pids = _qtx_pids(qt_y, qt_u, qt_v, h, w, tile)
+    C, A, sizes, ok = pe8.dct_encode_words_packed(
+        xw, qtx, pids, cont=cont, interpret=interpret, tile=tile)
+    sizes = sizes[:n]
+    return A, C, sizes, jnp.sum(sizes), jnp.all(ok[:n])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "fused", "interpret",
+                                    "tile"))
+def decompress_words(contentA: jnp.ndarray, contentC: jnp.ndarray,
+                     sizes: jnp.ndarray, qt_y, qt_u, qt_v,
+                     h: int, w: int, fused: bool | None = None,
+                     interpret: bool = False, tile: int | None = None):
+    """Dense interchange -> (xw word frame, ok). Decompress IS the
+    fused Huffman-decode+dequantize+IDCT kernel — its [128, NTP] pixel
+    quad-word output is the frame."""
+    from ..entropy import pallas_decode8 as pd8
+    ny8, nc8, _ = frame_cols(h, w, tile)
+    n = 8 * (ny8 + 2 * nc8)
+    qtx, pids = _qtx_pids(qt_y, qt_u, qt_v, h, w, tile)
+    sizes = sizes.astype(jnp.int32)
+    cwrows = (sizes + 4 * ds.ALIGN_W - 1) // (4 * ds.ALIGN_W)
+    cw = 8 + contentC.shape[0] // 8
+    if ds.DEC8_FUSED if fused is None else fused:
+        xw, ok = pd8.decode_idct_words8_split_fused(
+            contentA, contentC, qtx, pids, interpret=interpret,
+            tile=tile)
+    else:
+        xw, ok = pd8.decode_idct_words8_split(
+            contentA, contentC, qtx, pids, interpret=interpret,
+            tile=tile)
+    return xw, jnp.all(ok[:n]) & jnp.all(cwrows <= cw // ds.ALIGN_W)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "cont", "interpret",
+                                    "tile"))
+def roundtrip_words(xw: jnp.ndarray, qt_y, qt_u, qt_v, h: int, w: int,
+                    cont: int = ds.CONT_DEFAULT,
+                    interpret: bool = False, tile: int | None = None):
+    """Whole word-contract roundtrip as ONE executable -> (xw', total,
+    ok): the transcode/RD loop entry on the word contract — two fused
+    kernels back to back, zero relayouts."""
+    A, C, sizes, total, ok = compress_words(
+        xw, qt_y, qt_u, qt_v, h=h, w=w, cont=cont, interpret=interpret,
+        tile=tile)
+    rxw, dok = decompress_words(A, C, sizes, qt_y, qt_u, qt_v,
+                                h=h, w=w, interpret=interpret,
+                                tile=tile)
+    return rxw, total, ok & dok
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "cont", "interpret",
+                                    "tile"))
+def roundtrip_words_scan(xws: jnp.ndarray, qt_y, qt_u, qt_v,
+                         h: int, w: int, cont: int = ds.CONT_DEFAULT,
+                         interpret: bool = False,
+                         tile: int | None = None):
+    """K word-frame roundtrips in ONE executable (lax.scan over the
+    leading axis of xws [K, 128, NTP]) -> (totals [K], oks [K])."""
+    def body(carry, xw):
+        _rxw, total, ok = roundtrip_words(
+            xw, qt_y, qt_u, qt_v, h=h, w=w, cont=cont,
+            interpret=interpret, tile=tile)
+        return carry, (total, ok)
+
+    _, (totals, oks) = jax.lax.scan(body, jnp.int32(0), xws)
+    return totals, oks

@@ -157,8 +157,9 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref,
     ``ablate`` (measurement only, tools/exp_encphase.py) skips ONE
     phase's sequential loops while keeping every loop BOUND and tensor
     shape identical, so T(full) - T(ablated) measures that phase's
-    cycles: "serial" | "lut" | "merge" | "frontonly". The
-    production path ("") is untouched.
+    cycles: "serial" | "lut" | "merge" | "cansort" (the canonical
+    bitonic) | "groups" (the per-length code/group table) |
+    "frontonly". The production path ("") is untouched.
 
     ``scr_ref`` is [1536, TP] VMEM scratch: rows 0..511 the canonical
     LUT records, 512..1023 the payload quads (values + lengths),
@@ -313,20 +314,49 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref,
 
         # ---- canonical (len, sym) order + Kraft codes -------------------
         key2 = jnp.where(in_rows, leaf_len * 4096 + leafsym + 1024, BIG)
-        key2 = _bitonic8(key2)
+        if ablate != "cansort":
+            key2 = _bitonic8(key2)
         len_c = jnp.where(in_rows, key2 >> 12, 0)
         sym_c = jnp.where(in_rows, (key2 & 4095) - 1024, 0)
         ok = _fold_min(jnp.where(
             in_rows, ((len_c >= 1) & (len_c <= 8)).astype(I32), 1))
 
         lc = jnp.clip(len_c, 1, 8)
-        kraft = jnp.where(in_rows, 1 << (8 - lc), 0)
-        incl = kraft
-        s = 1
-        while s < rows:
-            incl = incl + _sd8(incl, s)
-            s <<= 1
-        code_c = (incl - kraft) >> (8 - lc)           # exclusive prefix
+        # Per-length arithmetic (round 5) replaces the Kraft prefix scan
+        # AND both group-boundary scan networks of round 4 (three
+        # log-depth [R, tp] scans): the canonical order groups equal
+        # lengths contiguously, so a row of length L at canonical index
+        # i has
+        #   code = fc[L] + (i - cb[L])    (== the exclusive Kraft
+        #                                  prefix >> (8-L), exactly)
+        #   run boundaries at cb[L] and cb[L] + cnt[L]
+        # with fc[l+1] = (fc[l] + cnt[l]) << 1 — the same first_code
+        # recurrence the decoder derives from its counts table
+        # (Huffman.cpp:300-316; entropy/pallas_decode8._payload_body).
+        # Lengths beyond 8 (too-skewed trees) already flipped ``ok``;
+        # their garbage codes are discarded with the chunk.
+        cnt = [_fold_sum((jnp.where(in_rows, lc, 0) == L).astype(I32))
+               for L in range(1, 9)]                  # [8, tp] each
+        fcl = z8
+        cbl = z8
+        rec8 = []
+        for L in range(8):
+            rec8.append(((fcl & 0x7FF) << 20)
+                        | ((cbl + cnt[L]) << 10) | cbl)
+            fcl = (fcl + cnt[L]) << 1
+            cbl = cbl + cnt[L]
+        if ablate == "groups":
+            pk = jnp.zeros((R, tp), I32)
+        else:
+            pk = jnp.where(lc == 1, _tile_g(rec8[0], rows), 0)
+            for L in range(1, 8):
+                pk = pk | jnp.where(lc == L + 1,
+                                    _tile_g(rec8[L], rows), 0)
+        cbR = pk & 0x3FF
+        endR = (pk >> 10) & 0x3FF
+        fcR = _shr_l(pk, 20)
+        idx_in_run = ig - cbR
+        code_c = fcR + idx_in_run
 
         # ---- per-message-position (len, code) lookup records -------------
         # one packed record per canonical row: (len << 20 | code << 12)
@@ -337,24 +367,12 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref,
             | (in_rows.astype(I32) << 11) | (sym_c & 0x7FF)
         scr_ref[0:R, :] = canrec
 
-        # ---- group structure over canonical rows (Huffman.cpp:300-316) --
-        prev_len = _sd8f(len_c, 1, -1)
-        run_start = in_rows & (len_c != prev_len)
-        lrs = jnp.where(run_start, ig, -1)
-        s = 1
-        while s < rows:
-            lrs = jnp.maximum(lrs, _sd8f(lrs, s, -64))
-            s <<= 1
-        idx_in_run = ig - lrs
-        grp_start = in_rows & (run_start | ((idx_in_run & 31) == 0))
-        bpos = jnp.where(run_start | ~in_rows, ig, 99)
-        nxt = _su8f(bpos, 1, 99)
-        s = 1
-        while s < rows:
-            nxt = jnp.minimum(nxt, _su8f(nxt, s, 99))
-            s <<= 1
-        nxt = jnp.minimum(nxt, rows)
-        gcnt = jnp.minimum(nxt, ig + 32) - ig         # valid at grp_start
+        # ---- group structure over canonical rows (Huffman.cpp:300-316):
+        # derived from the same per-length table — a length run starts
+        # at cb[L] (idx_in_run == 0), splits every 32 symbols, and ends
+        # at cb[L] + cnt[L]
+        grp_start = in_rows & ((idx_in_run & 31) == 0)
+        gcnt = jnp.minimum(endR, ig + 32) - ig        # valid at grp_start
         grp_bytes = jnp.where(grp_start, 1 + (gcnt * 11 + 7) // 8, 0)
         tree_size = _fold_sum(grp_bytes)
 

@@ -1,0 +1,153 @@
+"""Word-contract frame format (engine/word_frame): the packed i32
+device-resident frame representation (VERDICT r4 #5).
+
+Runs the Pallas kernels in interpret mode on small frames so the full
+contract — pack/unpack inversion, interchange byte-equality with the
+plane-contract compress, roundtrip pixel-exactness vs the scalar
+oracle, scan batching — is covered on CPU."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myyuv_tpu.engine import batch as eb
+from myyuv_tpu.engine import device_stream as ds
+from myyuv_tpu.engine import word_frame as wf
+from myyuv_tpu.kernels import scalar
+
+H, W = 32, 64
+TILE = 8
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def _frame(rng):
+    base = np.add.outer(np.arange(H) * 3, np.arange(W) * 2) % 200
+    y = (base + rng.integers(0, 40, (H, W))).astype(np.uint8)
+    u = rng.integers(90, 170, (H // 2, W // 2)).astype(np.uint8)
+    v = rng.integers(90, 170, (H // 2, W // 2)).astype(np.uint8)
+    return y, u, v
+
+
+def _scalar_roundtrip(planes, q=50):
+    out = []
+    for i, p in enumerate(planes):
+        qt = scalar.plane_qtable(i, q)
+        co = scalar.dct_quantize_blocks(scalar.plane_to_blocks(p), qt)
+        out.append(scalar.blocks_to_plane(
+            scalar.dequantize_idct_blocks(co, qt), *p.shape))
+    return out
+
+
+def test_pack_unpack_inverse(rng):
+    y, u, v = _frame(rng)
+    xw = wf.pack_frame(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                       tile=TILE)
+    ny8, nc8, ntp = wf.frame_cols(H, W, TILE)
+    assert xw.shape == (128, ntp)
+    ry, ru, rv = wf.unpack_frame(xw, H, W)
+    assert np.array_equal(np.asarray(ry), y)
+    assert np.array_equal(np.asarray(ru), u)
+    assert np.array_equal(np.asarray(rv), v)
+
+
+def test_compress_words_matches_plane_contract(rng):
+    """The word-contract interchange must be byte-identical to the
+    plane-contract compress on the same pixels."""
+    y, u, v = _frame(rng)
+    qts = eb.plane_qtables([50] * 3)
+    xw = wf.pack_frame(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                       tile=TILE)
+    A, C, sizes, total, ok = wf.compress_words(
+        xw, *qts, h=H, w=W, interpret=True, tile=TILE)
+    assert bool(ok)
+    cA, cC, csizes, ctotal, cok = ds.compress_frame(
+        jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *qts)
+    assert bool(cok)
+    assert int(total) == int(ctotal)
+    assert np.array_equal(np.asarray(sizes), np.asarray(csizes))
+    n8 = (np.asarray(csizes).size + 7) // 8
+    assert np.array_equal(np.asarray(A)[:, :n8], np.asarray(cA)[:, :n8])
+    # live continuation rows agree (pad-block columns may differ)
+    assert np.array_equal(np.asarray(C)[:, :n8], np.asarray(cC)[:, :n8])
+
+
+def test_roundtrip_words_pixel_exact(rng):
+    y, u, v = _frame(rng)
+    qts = eb.plane_qtables([50] * 3)
+    xw = wf.pack_frame(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                       tile=TILE)
+    rxw, total, ok = wf.roundtrip_words(xw, *qts, h=H, w=W,
+                                        interpret=True, tile=TILE)
+    assert bool(ok) and rxw.shape == xw.shape
+    ry, ru, rv = wf.unpack_frame(rxw, H, W)
+    wy, wu, wv = _scalar_roundtrip([y, u, v])
+    assert np.array_equal(np.asarray(ry), wy)
+    assert np.array_equal(np.asarray(ru), wu)
+    assert np.array_equal(np.asarray(rv), wv)
+
+
+def test_decompress_words_fused_variant(rng):
+    y, u, v = _frame(rng)
+    qts = eb.plane_qtables([50] * 3)
+    xw = wf.pack_frame(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                       tile=TILE)
+    A, C, sizes, _, ok = wf.compress_words(
+        xw, *qts, h=H, w=W, interpret=True, tile=TILE)
+    assert bool(ok)
+    x1, ok1 = wf.decompress_words(A, C, sizes, *qts, h=H, w=W,
+                                  fused=False, interpret=True, tile=TILE)
+    x2, ok2 = wf.decompress_words(A, C, sizes, *qts, h=H, w=W,
+                                  fused=True, interpret=True, tile=TILE)
+    assert bool(ok1) and bool(ok2)
+    assert np.array_equal(np.asarray(x1), np.asarray(x2))
+
+
+def test_roundtrip_words_scan(rng):
+    y, u, v = _frame(rng)
+    qts = eb.plane_qtables([50] * 3)
+    xw = wf.pack_frame(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                       tile=TILE)
+    _, total, ok = wf.roundtrip_words(xw, *qts, h=H, w=W,
+                                      interpret=True, tile=TILE)
+    assert bool(ok)
+    xws = jnp.broadcast_to(xw, (3,) + xw.shape)
+    totals, oks = wf.roundtrip_words_scan(xws, *qts, h=H, w=W,
+                                          interpret=True, tile=TILE)
+    assert np.asarray(oks).all()
+    assert (np.asarray(totals) == int(total)).all()
+
+
+def test_compress_words_overflow_flags(rng):
+    """Noise at q100 overflows the default tier: ok must go False, and
+    the roomy tier must recover byte-identical streams."""
+    y = rng.integers(0, 256, (H, W)).astype(np.uint8)
+    u = rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)
+    v = rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)
+    qts = eb.plane_qtables([100] * 3)
+    xw = wf.pack_frame(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                       tile=TILE)
+    _, _, _, _, ok = wf.compress_words(
+        xw, *qts, h=H, w=W, interpret=True, tile=TILE)
+    assert not bool(ok)
+    A, C, sizes, total, ok2 = wf.compress_words(
+        xw, *qts, h=H, w=W, cont=ds.CONT_ROOMY, interpret=True,
+        tile=TILE)
+    assert bool(ok2)
+    rxw, dok = wf.decompress_words(A, C, sizes, *qts, h=H, w=W,
+                                   interpret=True, tile=TILE)
+    assert bool(dok)
+    ry, ru, rv = wf.unpack_frame(rxw, H, W)
+    wy, wu, wv = _scalar_roundtrip([y, u, v], q=100)
+    # CPU-interpret caveat: the production word kernels carry no
+    # FMA-defeat (the TPU toolchain does not contract — sentinel in
+    # check_tpu_bitexact.py) but CPU XLA DOES contract mul+add chains,
+    # so noise content at q100 lands within +-1 of the scalar oracle
+    # here; byte/pixel exactness on the REAL chip is what
+    # tools/check_tpu_frame.py --sweep asserts.
+    for g, wv_ in ((ry, wy), (ru, wu), (rv, wv)):
+        assert np.abs(np.asarray(g).astype(int)
+                      - wv_.astype(int)).max() <= 1

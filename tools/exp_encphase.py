@@ -35,7 +35,8 @@ from myyuv_tpu.engine import batch as eb  # noqa: E402
 from myyuv_tpu.entropy import pallas_encode8 as pe8  # noqa: E402
 from myyuv_tpu.kernels import pallas_dct8 as p8  # noqa: E402
 
-VARIANTS = ["full", "serial", "lut", "merge", "frontonly", "dct"]
+VARIANTS = ["full", "serial", "lut", "merge", "cansort", "groups",
+            "frontonly", "dct"]
 
 
 def sync(x):

@@ -243,6 +243,58 @@ def sustained_pipeline_fps(planes_np, qtables, n_frames: int = 112,
     return n_frames / t_i, n_frames / t_p, ok
 
 
+def sustained_word_pipeline_fps(planes_np, qtables, n_frames: int = 112,
+                                cont: int = ds.CONT_DEFAULT):
+    """Word-contract production pipelines (round 5): ingest = BGRX ->
+    bgrx_to_frame (value-route pack) -> compress_words; preview =
+    interchange -> decompress_words -> frame_to_bgrx. Zero steady-state
+    syncs, flags stacked on device. Returns
+    (ingest_fps, preview_fps, ok)."""
+    from . import word_frame as wf
+    h, w = planes_np[0].shape
+    dev = tuple(jnp.asarray(p) for p in planes_np)
+    px = _convert_inv(*dev)
+    n_frames = -(-n_frames // FLAG_CHUNK) * FLAG_CHUNK
+    xw0 = wf.pack_frame(*dev)
+    A, C, sizes, _tot, ok0 = wf.compress_words(xw0, *qtables, h=h, w=w,
+                                               cont=cont)
+
+    def ingest(nf):
+        oks = []
+        t0 = time.perf_counter()
+        for _ in range(nf):
+            xw = wf.bgrx_to_frame(px)
+            _A, _C, _s, _t, ok = wf.compress_words(
+                xw, *qtables, h=h, w=w, cont=cont)
+            oks.append(ok)
+        okc = _stack_chunks(oks)
+        for c in okc:
+            c.copy_to_host_async()
+        ok_np = np.concatenate([np.asarray(c) for c in okc])
+        return ok_np, time.perf_counter() - t0
+
+    def preview(nf):
+        oks = []
+        t0 = time.perf_counter()
+        for _ in range(nf):
+            fr, ok = wf.decompress_words(A, C, sizes, *qtables,
+                                         h=h, w=w)
+            _px = wf.frame_to_bgrx(fr, h, w)
+            oks.append(ok)
+        okc = _stack_chunks(oks)
+        for c in okc:
+            c.copy_to_host_async()
+        ok_np = np.concatenate([np.asarray(c) for c in okc])
+        return ok_np, time.perf_counter() - t0
+
+    ingest(FLAG_CHUNK)
+    preview(FLAG_CHUNK)
+    ok_i, t_i = ingest(n_frames)
+    ok_p, t_p = preview(n_frames)
+    ok = bool(ok0) and bool(ok_i.all()) and bool(ok_p.all())
+    return n_frames / t_i, n_frames / t_p, ok
+
+
 def sustained_scan_fps(planes_np, qtables, n_frames: int = 112,
                        k: int = 8, precision: str = "exact",
                        cont: int = ds.CONT_DEFAULT):
@@ -293,10 +345,10 @@ def sustained_word_fps(planes_np, qtables, n_frames: int = 112,
     np.asarray(ok0)
     n_frames = -(-n_frames // FLAG_CHUNK) * FLAG_CHUNK
 
-    def window():
+    def window(nf):
         oks, totals = [], []
         t0 = time.perf_counter()
-        for _ in range(n_frames):
+        for _ in range(nf):
             _rxw, total, ok = wf.roundtrip_words(xw, *qtables, h=h,
                                                  w=w, cont=cont)
             oks.append(ok)
@@ -309,7 +361,11 @@ def sustained_word_fps(planes_np, qtables, n_frames: int = 112,
         tot0 = int(np.asarray(totc[0])[0])
         return ok_np, tot0, time.perf_counter() - t0
 
-    runs = [window() for _ in range(max(1, windows))]
+    # one chunk-sized warm window: the flag-stack executables compile
+    # OUTSIDE the timed windows (a cold stack showed up as a 148 fps
+    # first window in the round-5 shakedown)
+    window(FLAG_CHUNK)
+    runs = [window(n_frames) for _ in range(max(1, windows))]
     stats = {
         "windows_fps": [round(n_frames / e, 2) for _, _, e in runs],
         "windows_ok": [int(o.sum()) for o, _, _ in runs],

@@ -83,6 +83,43 @@ def unpack_frame(xw: jnp.ndarray, h: int, w: int):
     return yp, uvp[:h // 2], uvp[h // 2:]
 
 
+@functools.partial(jax.jit, static_argnames=("tile",))
+def bgrx_to_frame(pixels: jnp.ndarray, tile: int | None = None):
+    """[H, W, 4] u8 BGRX -> xw word frame: the word-contract INGEST
+    conversion. The colorspace math is kernels/device.bgrx_to_iyuv_vals
+    (bit-identical to bgrx_to_iyuv); the computed i32 values pack
+    straight into the packed layout through the weighted-MXU value
+    relayout — no u8 plane, no byte bitcast repack."""
+    from ..kernels import device as kdev
+    h, w = pixels.shape[-3], pixels.shape[-2]
+    _, _, ntp = frame_cols(h, w, tile)
+    yv, uv, vv = kdev.bgrx_to_iyuv_vals(pixels)
+    parts = [p8.pack_value_words(yv),
+             p8.pack_value_words(jnp.concatenate([uv, vv], axis=0))]
+    xw = jnp.concatenate(parts, axis=1)
+    pad = ntp - xw.shape[1]
+    if pad:
+        xw = jnp.concatenate(
+            [xw, jnp.zeros((128, pad), jnp.int32)], axis=1)
+    return xw
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def frame_to_bgrx(xw: jnp.ndarray, h: int, w: int):
+    """xw word frame -> [H, W, 4] u8 BGRX: the word-contract PREVIEW
+    conversion.
+
+    Negative result (tools/exp_r5conv.py, 4K): the value-route unpack
+    measured 1.832 ms vs 1.027 for byte-route unpack + dense
+    conversion — the inverse direction needs FOUR byte-selection dots
+    where the forward needs two weighted ones, doubling the MXU work
+    past the bitcast saving. Preview therefore keeps the byte route
+    (ingest keeps the value route: 1.019 vs 1.218 ms)."""
+    from ..kernels import device as kdev
+    y, u, v = unpack_frame(xw, h, w)
+    return kdev.iyuv_to_bgrx(y, u, v)
+
+
 def _qtx_pids(qt_y, qt_u, qt_v, h: int, w: int,
               tile: int | None = None):
     ny8, nc8, ntp = frame_cols(h, w, tile)

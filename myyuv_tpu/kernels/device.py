@@ -243,6 +243,18 @@ def bgrx_to_iyuv(pixels: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
     [..., 4]-minor u8 layout runs at 1/32 lane utilization on TPU
     (measured 280 ms/4K frame vs ~5 ms word-based).
     """
+    yv, uv, vv = bgrx_to_iyuv_vals(pixels)
+    return (yv.astype(jnp.uint8), uv.astype(jnp.uint8),
+            vv.astype(jnp.uint8))
+
+
+def bgrx_to_iyuv_vals(pixels: jnp.ndarray) -> Tuple[jnp.ndarray,
+                                                    jnp.ndarray,
+                                                    jnp.ndarray]:
+    """bgrx_to_iyuv returning i32 VALUE planes (0..255) — the word-frame
+    ingest path packs these straight into the packed layout with the
+    weighted-MXU value relayout (pallas_dct8.pack_value_words) instead
+    of materializing u8 planes first. Identical per-element math."""
     w32 = jax.lax.bitcast_convert_type(pixels, jnp.int32)  # [..., H, W]
     b = (w32 & 255).astype(F32)
     g = ((w32 >> 8) & 255).astype(F32)
@@ -251,7 +263,7 @@ def bgrx_to_iyuv(pixels: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
     # single-rounded FMAs (see _seq_matmul)
     z = _runtime_zero(b)
     yf = ((F32(0.299) * r + z) + (F32(0.587) * g + z)) + (F32(0.114) * b + z)
-    y = jnp.trunc(yf).astype(jnp.int32).astype(jnp.uint8)
+    y = jnp.trunc(yf).astype(jnp.int32)
     cb = (jnp.trunc((b - yf) * F32(0.564)).astype(jnp.int32) + 128) & 255
     cr = (jnp.trunc((r - yf) * F32(0.713)).astype(jnp.int32) + 128) & 255
     qcb = (cb + 2) >> 2
@@ -267,8 +279,7 @@ def bgrx_to_iyuv(pixels: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
     lead = (1,) * (t.ndim - 2)
     s = jax.lax.reduce_window(t, 0, jax.lax.add,
                               lead + (2, 2), lead + (2, 2), "VALID")
-    return (y, (s & 255).astype(jnp.uint8),
-            ((s >> 16) & 255).astype(jnp.uint8))
+    return y, (s & 255), (s >> 16) & 255
 
 
 def iyuv_to_bgrx(y: jnp.ndarray, u: jnp.ndarray,

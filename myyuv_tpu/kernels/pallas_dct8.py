@@ -465,6 +465,180 @@ def _unpack_mxu2(xw: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
         v.reshape(ph, 2 * wb), jnp.uint8).reshape(ph, pw)
 
 
+def _perm_val_mxu(L: int):
+    """VALUE-input relayout matrices (round 5): (Plo, Phi) [64L, 16L]
+    bf16 with weights {1, 256}, so o_lo[h, m] = px[4*src(m)] +
+    256*px[4*src(m)+1] builds each packed word's low halfword straight
+    from per-lane pixel VALUES — no u8->i32 bitcast repack (the 0.26
+    ms/plane 'bitcast machinery' of the byte route, BENCH_r04). Values
+    0..255 and the weight 256 are exact in bf16; products <= 65280 and
+    halfword sums <= 65535 are exact in the f32 accumulator."""
+    n = 16 * L
+    p = jax.lax.broadcasted_iota(jnp.int32, (64 * L, n), 0)
+    m = jax.lax.broadcasted_iota(jnp.int32, (64 * L, n), 1)
+    src = 16 * (m % L) + 2 * ((m // L) % 8) + m // (8 * L)
+    base = 4 * src
+    one = jnp.int32(1)
+    lo = jnp.where(p == base, one, 0) + jnp.where(p == base + 1, 256, 0)
+    hi = jnp.where(p == base + 2, one, 0) \
+        + jnp.where(p == base + 3, 256, 0)
+    return lo.astype(jnp.bfloat16), hi.astype(jnp.bfloat16)
+
+
+def _perm_val_inv_mxu(L: int):
+    """(Q0..Q3) [16L, 64L] bf16: pixel column p reads byte j of word
+    m with p == 4*src(m) + j (the unpack direction of _perm_val_mxu)."""
+    n = 16 * L
+    m = jax.lax.broadcasted_iota(jnp.int32, (n, 64 * L), 0)
+    p = jax.lax.broadcasted_iota(jnp.int32, (n, 64 * L), 1)
+    src = 16 * (m % L) + 2 * ((m // L) % 8) + m // (8 * L)
+    return [(p == 4 * src + j).astype(jnp.bfloat16) for j in range(4)]
+
+
+def _perm2_val_mxu(L: int, wb: int):
+    """2-row-unit VALUE variants for wb % 4 == 0 (4K chroma):
+    (PA_lo, PA_hi, PB_lo, PB_hi) [8wb, 16L]."""
+    n = 16 * L
+    wpx = 8 * wb
+    p = jax.lax.broadcasted_iota(jnp.int32, (wpx, n), 0)
+    m = jax.lax.broadcasted_iota(jnp.int32, (wpx, n), 1)
+    c = m % L
+    r = (m // L) % 8
+    k1 = m // (8 * L)
+    bb = 8 * c + r
+    lo_unit = bb < wb
+    base = 4 * (2 * jnp.where(lo_unit, bb, bb - wb) + k1)
+    one = jnp.int32(1)
+
+    def wsel(off0, off1, unit):
+        sel = (jnp.where(p == base + off0, one, 0)
+               + jnp.where(p == base + off1, 256, 0))
+        return jnp.where(unit, sel, 0).astype(jnp.bfloat16)
+
+    return (wsel(0, 1, lo_unit), wsel(2, 3, lo_unit),
+            wsel(0, 1, ~lo_unit), wsel(2, 3, ~lo_unit))
+
+
+def _perm2_val_inv_mxu(L: int, wb: int):
+    """Inverse 2-row-unit VALUE variants: (QA[4], QB[4]) [16L, 8wb]."""
+    n = 16 * L
+    wpx = 8 * wb
+    m = jax.lax.broadcasted_iota(jnp.int32, (n, wpx), 0)
+    p = jax.lax.broadcasted_iota(jnp.int32, (n, wpx), 1)
+    c = m % L
+    r = (m // L) % 8
+    k1 = m // (8 * L)
+    bb = 8 * c + r
+    lo_unit = bb < wb
+    base = 4 * (2 * jnp.where(lo_unit, bb, bb - wb) + k1)
+    qa = [((p == base + j) & lo_unit).astype(jnp.bfloat16)
+          for j in range(4)]
+    qb = [((p == base + j) & ~lo_unit).astype(jnp.bfloat16)
+          for j in range(4)]
+    return qa, qb
+
+
+def _pack_val_mxu(vals: jnp.ndarray) -> jnp.ndarray:
+    h, w = vals.shape
+    L = w // 64
+    x = vals.astype(jnp.bfloat16)
+    Plo, Phi = _perm_val_mxu(L)
+    lo = jnp.dot(x, Plo, precision=_HI,
+                 preferred_element_type=F32).astype(jnp.int32)
+    hi = jnp.dot(x, Phi, precision=_HI,
+                 preferred_element_type=F32).astype(jnp.int32)
+    o = lo | (hi << 16)
+    return o.reshape(h // 8, 8, 16, L).transpose(1, 2, 0, 3).reshape(
+        128, (h // 8) * L)
+
+
+def _unpack_val_mxu(xw: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
+    L = pw // 64
+    o = xw.reshape(8, 16, ph // 8, L).transpose(2, 0, 1, 3).reshape(
+        ph, 16 * L)
+    o = jax.lax.optimization_barrier(o)    # see _unpack_mxu
+    Q = _perm_val_inv_mxu(L)
+    bs = [(o & 255), (o >> 8) & 255, (o >> 16) & 255,
+          jax.lax.shift_right_logical(o, 24)]
+    pix = jnp.zeros((ph, pw), F32)
+    for j in range(4):
+        pix = pix + jnp.dot(bs[j].astype(jnp.bfloat16), Q[j],
+                            precision=_HI, preferred_element_type=F32)
+    return pix.astype(jnp.int32)
+
+
+def _pack2_val_mxu(vals: jnp.ndarray) -> jnp.ndarray:
+    h, w = vals.shape
+    wb = w // 8
+    L = wb // 4
+    vu = vals.reshape(h // 16, 2, 8, w)
+    A = vu[:, 0].reshape(h // 2, w).astype(jnp.bfloat16)
+    B = vu[:, 1].reshape(h // 2, w).astype(jnp.bfloat16)
+    PA_lo, PA_hi, PB_lo, PB_hi = _perm2_val_mxu(L, wb)
+
+    def dd(x, P):
+        return jnp.dot(x, P, precision=_HI, preferred_element_type=F32)
+
+    lo = (dd(A, PA_lo) + dd(B, PB_lo)).astype(jnp.int32)
+    hi = (dd(A, PA_hi) + dd(B, PB_hi)).astype(jnp.int32)
+    o = lo | (hi << 16)
+    return o.reshape(h // 16, 8, 16, L).transpose(1, 2, 0, 3).reshape(
+        128, (h // 16) * L)
+
+
+def _unpack2_val_mxu(xw: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
+    wb = pw // 8
+    L = wb // 4
+    o = xw.reshape(8, 16, ph // 16, L).transpose(2, 0, 1, 3).reshape(
+        ph // 2, 16 * L)
+    o = jax.lax.optimization_barrier(o)
+    QA, QB = _perm2_val_inv_mxu(L, wb)
+    bs = [(o & 255), (o >> 8) & 255, (o >> 16) & 255,
+          jax.lax.shift_right_logical(o, 24)]
+    A = jnp.zeros((ph // 2, pw), F32)
+    B = jnp.zeros((ph // 2, pw), F32)
+    for j in range(4):
+        bj = bs[j].astype(jnp.bfloat16)
+        A = A + jnp.dot(bj, QA[j], precision=_HI,
+                        preferred_element_type=F32)
+        B = B + jnp.dot(bj, QB[j], precision=_HI,
+                        preferred_element_type=F32)
+    v = jnp.stack([A.astype(jnp.int32).reshape(ph // 16, 8, pw),
+                   B.astype(jnp.int32).reshape(ph // 16, 8, pw)],
+                  axis=1)
+    return v.reshape(ph, pw)
+
+
+def pack_value_words(vals: jnp.ndarray) -> jnp.ndarray:
+    """[H, W] i32 pixel VALUES (0..255) -> [128, N/8] i32 pixel quad
+    words (same output as pack_pixel_words on the u8 plane) without the
+    u8->word bitcast repack: the lane->byte combine rides the weighted
+    MXU permutation (exact — see _perm_val_mxu). Conversion kernels
+    keep their computed values in lanes and pack straight into the
+    word-frame layout."""
+    h, w = vals.shape
+    wb = w // 8
+    if jax.default_backend() not in ("cpu",):
+        if wb % 8 == 0:
+            return _pack_val_mxu(vals)
+        if wb % 4 == 0:
+            return _pack2_val_mxu(vals)
+    return pack_pixel_words(vals.astype(jnp.uint8))
+
+
+def unpack_value_words(xw: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
+    """[128, n/8] i32 pixel quad words -> [ph, pw] i32 pixel VALUES
+    (the unpack direction of pack_value_words; feeds conversion math
+    without materializing a u8 plane)."""
+    wb = pw // 8
+    if jax.default_backend() not in ("cpu",):
+        if wb % 8 == 0:
+            return _unpack_val_mxu(xw, ph, pw)
+        if wb % 4 == 0:
+            return _unpack2_val_mxu(xw, ph, pw)
+    return unpack_pixel_words(xw, ph, pw).astype(jnp.int32)
+
+
 def pack_pixel_words(plane: jnp.ndarray) -> jnp.ndarray:
     """[H, W] u8 plane -> [128, N/8] i32 pixel quad words (packed-8
     layout, 4 consecutive row pixels per word, little-endian).

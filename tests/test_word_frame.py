@@ -121,6 +121,54 @@ def test_roundtrip_words_scan(rng):
     assert (np.asarray(totals) == int(total)).all()
 
 
+def test_word_conversions_match_plane_path(rng):
+    """bgrx_to_frame == pack_frame(bgrx_to_iyuv(px)) and frame_to_bgrx
+    == iyuv_to_bgrx(unpack_frame(xw)): the fused word-contract
+    conversions against the plane-contract chain.
+
+    CPU-jit caveat: unlike the TPU backend, CPU XLA folds the
+    runtime-zero FMA guard and contracts the conversion mul+add
+    chains, so two differently-fused modules can disagree by 1 ulp
+    exactly at trunc/rint boundaries. The content below avoids pixels
+    within 1e-3 of those boundaries (float64 model), so this test
+    checks the WIRING deterministically; bit-exactness of the real
+    kernels is asserted on-chip (tools/check_tpu_bitexact.py)."""
+    from myyuv_tpu.kernels import device as kdev
+    bgrx = rng.integers(0, 256, (H, W, 4), np.uint8)
+    bgrx[..., 3] = 0
+    b64, g64, r64 = [bgrx[..., i].astype(np.float64) for i in range(3)]
+    yf = 0.299 * r64 + 0.587 * g64 + 0.114 * b64
+    cb = (b64 - yf) * 0.564
+    cr = (r64 - yf) * 0.713
+    risky = np.zeros(yf.shape, bool)
+    for x in (yf, cb, cr):
+        risky |= np.abs(x - np.round(x)) < 1e-3
+    bgrx[risky] = 0                       # black pixels are boundary-safe
+    bdev = jnp.asarray(bgrx)
+    xw = wf.bgrx_to_frame(bdev, tile=TILE)
+    y, u, v = kdev.bgrx_to_iyuv(bdev)
+    want = wf.pack_frame(y, u, v, tile=TILE)
+    assert np.array_equal(np.asarray(xw), np.asarray(want))
+    # preview direction: rint boundaries live at x.5 — risky pixels get
+    # neutral chroma (vv = uu = 0, products exactly zero)
+    y2, u2, v2 = _frame(rng)
+    yr = y2.astype(np.float64)
+    uu = np.repeat(np.repeat(u2, 2, 0), 2, 1).astype(np.float64) - 128
+    vv = np.repeat(np.repeat(v2, 2, 0), 2, 1).astype(np.float64) - 128
+    est = np.stack([yr + 1.403 * vv, yr - 0.714 * vv - 0.344 * uu,
+                    yr + 1.773 * uu])
+    risky2 = (np.abs(est - np.floor(est) - 0.5) < 1e-3).any(axis=0)
+    risky_c = risky2.reshape(H // 2, 2, W // 2, 2).any(axis=(1, 3))
+    u2[risky_c] = 128
+    v2[risky_c] = 128
+    fr = wf.pack_frame(jnp.asarray(y2), jnp.asarray(u2),
+                       jnp.asarray(v2), tile=TILE)
+    got = wf.frame_to_bgrx(fr, H, W)
+    wantpx = kdev.iyuv_to_bgrx(jnp.asarray(y2), jnp.asarray(u2),
+                               jnp.asarray(v2))
+    assert np.array_equal(np.asarray(got), np.asarray(wantpx))
+
+
 def test_compress_words_overflow_flags(rng):
     """Noise at q100 overflows the default tier: ok must go False, and
     the roomy tier must recover byte-identical streams."""

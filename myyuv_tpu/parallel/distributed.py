@@ -53,15 +53,25 @@ def local_shard(n_items: int) -> Tuple[int, int]:
 def allgather_sizes(local_sizes: np.ndarray) -> List[np.ndarray]:
     """All hosts' chunk-size tables (host-side collective).
 
-    Single-process: identity. Multi-process: uses
-    jax.experimental.multihost_utils.process_allgather.
+    Single-process: identity. Multi-process: pads to the max host
+    length before the collective — ``process_allgather`` requires
+    uniform shapes/dtypes, and shard sizes are uneven whenever the
+    batch doesn't divide the host count (a tail host may even be
+    EMPTY; found by tests/test_distributed_multiprocess.py's 4-process
+    case — the unpadded gather aborts in gloo with a size mismatch).
     """
+    local_sizes = np.ascontiguousarray(local_sizes)
     if jax.process_count() == 1:
-        return [np.asarray(local_sizes)]
-    from jax.experimental import multihost_utils
-    gathered = multihost_utils.process_allgather(
-        np.asarray(local_sizes), tiled=False)
-    return [np.asarray(g) for g in gathered]
+        return [local_sizes]
+    from jax.experimental import multihost_utils as mh
+    n = mh.process_allgather(
+        np.array([local_sizes.size], np.int64)).reshape(-1)
+    mx = max(int(n.max()), 1)
+    pad = np.zeros(mx, np.int64)
+    pad[: local_sizes.size] = local_sizes
+    allp = mh.process_allgather(pad).reshape(-1, mx)
+    dt = local_sizes.dtype if local_sizes.size else np.uint8
+    return [allp[p, : int(n[p])].astype(dt) for p in range(allp.shape[0])]
 
 
 def global_offsets(all_sizes: Sequence[np.ndarray]) -> np.ndarray:
@@ -107,15 +117,20 @@ def gather_streams(local_sizes: np.ndarray, local_content: np.ndarray
     lens = mh.process_allgather(
         np.array([local_sizes.size, local_content.size], np.int64))
     lens = lens.reshape(-1, 2)
-    max_n, max_c = int(lens[:, 0].max()), int(lens[:, 1].max())
-    pad_s = np.zeros(max_n, local_sizes.dtype)
+    # pads must be >= 1 element and a HOST-UNIFORM dtype (int64), or an
+    # empty/odd-dtype host desynchronizes the collective (gloo aborts)
+    max_n = max(int(lens[:, 0].max()), 1)
+    max_c = max(int(lens[:, 1].max()), 1)
+    pad_s = np.zeros(max_n, np.int64)
     pad_s[: local_sizes.size] = local_sizes
     pad_c = np.zeros(max_c, np.uint8)
     pad_c[: local_content.size] = local_content
     all_s = mh.process_allgather(pad_s).reshape(-1, max_n)
     all_c = mh.process_allgather(pad_c).reshape(-1, max_c)
+    dt = local_sizes.dtype if local_sizes.size else np.uint8
     sizes = np.concatenate(
-        [all_s[p, : int(lens[p, 0])] for p in range(lens.shape[0])])
+        [all_s[p, : int(lens[p, 0])] for p in range(lens.shape[0])]
+    ).astype(dt)
     content = np.concatenate(
         [all_c[p, : int(lens[p, 1])] for p in range(lens.shape[0])])
     return sizes, content

@@ -46,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .reference import ZIGZAG
 from .pallas_decode import _bitrev8, _bitrev11, _shl, _shr_l, _FILLER_W0
+from .pallas_encode8 import _ortree
 
 I32 = jnp.int32
 # lane columns per grid program (8 blocks each)
@@ -66,13 +67,14 @@ def _consume_nr(state, s):
 def _refill(state, R, cw):
     """One refill: if <= 32 valid bits remain, pull the next word.
 
-    R is the packed word file [cw*8, TP]; the read is a one-hot over the
-    cw row groups (widx past the end reads 0)."""
+    R is the packed word file [cw*8, TP]; the read is a one-hot over
+    the cw row groups (widx past the end reads 0), combined as a
+    BALANCED OR tree — the left-deep chain was latency-bound
+    (PERF_NOTES round 5)."""
     W0, W1, valid, widx = state
     need = valid <= 32
-    V = jnp.zeros_like(W0)
-    for w in range(cw):
-        V = V | jnp.where(widx == w, R[8 * w:8 * w + 8], 0)
+    V = _ortree([jnp.where(widx == w, R[8 * w:8 * w + 8], 0)
+                 for w in range(cw)])
     V = jnp.where(need, V, 0)
     W0 = W0 | jnp.where(need, _shr_l(V, valid), 0)
     W1 = W1 | jnp.where(need, _shl(V, 32 - valid), 0)
@@ -82,11 +84,9 @@ def _refill(state, R, cw):
 
 
 def _read_group(R, cw, widx):
-    """One-hot read of word row-group widx -> [8, TP]."""
-    V = jnp.zeros_like(R[0:8])
-    for w in range(cw):
-        V = V | jnp.where(widx == w, R[8 * w:8 * w + 8], 0)
-    return V
+    """One-hot read of word row-group widx -> [8, TP] (balanced OR)."""
+    return _ortree([jnp.where(widx == w, R[8 * w:8 * w + 8], 0)
+                    for w in range(cw)])
 
 
 def _tree_body(w0_ref, wc_ref, sym2_ref, counts_ref, bad_ref,
@@ -146,11 +146,21 @@ def _tree_body(w0_ref, wc_ref, sym2_ref, counts_ref, bad_ref,
         st = _refill(st, R, cw)
         return st, g_rem, cur_len, consumed, counts, bad
 
+    def step4(t4, carry):
+        # FOUR parse steps per trip (round 5): the loop is
+        # latency-bound on per-trip overhead (PERF_NOTES round-5 LUT
+        # finding), and extra trailing steps are no-ops (g_rem == 0
+        # and no bytes left => more = take = False; their zero stores
+        # are what the blank loop writes anyway; t <= 4*16 - 1 = 63)
+        for j in range(4):
+            carry = step(4 * t4 + j, carry)
+        return carry
+
     # trip count: one symbol stored per step, tree_bits >= 8 + 11*n_sym
     steps = jnp.max(jnp.clip((tree_bits - 8) // 11, 0, 64))
     carry = (st, zero, zero, zero, [zero] * 9, zero)
     st, g_rem, cur_len, consumed, counts, bad = jax.lax.fori_loop(
-        0, steps, step, carry)
+        0, (steps + 3) // 4, step4, carry)
     # zero the symbol rows beyond the loop bound (sym2 pairs read them)
     def blank(t, _):
         rec_ref[pl.ds(t * 8, 8), :] = zero
@@ -239,30 +249,33 @@ def _payload_body(w0_ref, wc_ref, sym2_ref, counts_ref,
             live = (bitpos < enc_bits) & (bad == 0)
             return (g < 22) & (jnp.max(live.astype(I32)) > 0)
 
-        def body(carry):
+        def group(carry):
             g, st, bitpos, bad = carry
             syms = []
             for j in range(3):
                 W0 = st[0]
                 active = (bitpos < enc_bits) & (3 * g + j < 64)
                 peek = _shr_l(W0, 24) & 0xFF
-                length = jnp.full_like(peek, 9)
-                code = jnp.zeros_like(peek)
-                for L in range(8, 0, -1):
-                    cL = peek >> (8 - L)
-                    hit = cL < fc[L] + counts[L]
-                    length = jnp.where(hit, L, length)
-                    code = jnp.where(hit, cL, code)
-                rec = jnp.zeros_like(peek)
-                for L in range(1, 9):
-                    rec = jnp.where(length == L, pk[L], rec)
+                # canonical monotonicity: fc[L+1] = (fc[L]+cnt[L]) << 1
+                # makes hit_L => hit_{L+1} for EVERY counts table the
+                # parser can produce, so length = 9 - sum(hit_L) — a
+                # balanced add tree instead of the 8-deep select chain
+                # (and code is one variable shift off peek)
+                hits = [(peek >> (8 - L) < fc[L] + counts[L])
+                        .astype(I32) for L in range(1, 9)]
+                while len(hits) > 1:
+                    hits = [a + b for a, b in zip(hits[0::2],
+                                                  hits[1::2])]
+                length = 9 - hits[0]
+                code = _shr_l(peek, jnp.clip(8 - length, 0, 8))
+                rec = _ortree([jnp.where(length == L, pk[L], 0)
+                               for L in range(1, 9)])
                 idx = code - (rec >> 16)
                 rt = (rec & 0xFF) + idx               # computed table row
-                s2 = jnp.zeros_like(peek)
                 rt2 = rt >> 1
-                for gg in range(sym_groups):
-                    s2 = s2 | jnp.where(rt2 == gg,
-                                        sym2_ref[8 * gg:8 * gg + 8, :], 0)
+                s2 = _ortree([jnp.where(rt2 == gg,
+                                        sym2_ref[8 * gg:8 * gg + 8, :],
+                                        0) for gg in range(sym_groups)])
                 v = jnp.where((rt & 1) > 0, _shr_l(s2, 16), s2) & 0x7FF
                 sym = jnp.where(v >= 1024, v - 2048, v)
                 ok_sym = (length <= 8) & (idx >= 0) \
@@ -278,13 +291,27 @@ def _payload_body(w0_ref, wc_ref, sym2_ref, counts_ref,
             out_ref[pl.ds(g * 24, 24), :] = jnp.concatenate(syms, axis=0)
             return g + 1, st, bitpos, bad
 
+        def body(carry):
+            # TWO 3-symbol groups per trip (round 5, latency-bound
+            # loops): 22 groups = exactly 11 pairs, so the second
+            # group's store row never exceeds 21; a group past the
+            # stream is all-inactive (bitpos >= enc_bits masks every
+            # step) and stores zeros to its own rows only
+            return group(group(carry))
+
         _, st, bitpos, bad = jax.lax.while_loop(
             cond, body, (jnp.int32(0), st0, jnp.zeros_like(enc_bits), bad0))
         return bitpos, bad
 
-    SMALL = 16
+    # sym2-scan tiers by tile-max distinct symbols: the one-hot table
+    # read is sym_groups x 2 ops per symbol step, and q50/q90 tiles
+    # rarely exceed 32 distinct symbols — the 32-symbol MID tier
+    # (round 5) halves the scan for most tiles vs jumping straight
+    # from 16 to the 64-symbol format bound
     bitpos, bad = jax.lax.cond(
-        nmax_sym <= SMALL, lambda: run(SMALL // 2), lambda: run(32))
+        nmax_sym <= 16, lambda: run(8),
+        lambda: jax.lax.cond(nmax_sym <= 32, lambda: run(16),
+                             lambda: run(32)))
     bad = bad | (bitpos != enc_bits).astype(I32)
     return (bad == 0).astype(I32)
 

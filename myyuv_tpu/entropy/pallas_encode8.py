@@ -104,12 +104,23 @@ def _fold_sum(x):
     return x
 
 
+def _ortree(terms):
+    """Balanced OR-reduction: the left-deep ``a | b | c | ...`` chains
+    the one-hot scans used to build are LATENCY-bound on the VPU (the
+    round-5 phase measurements moved with chain depth, not op count);
+    a pairwise tree cuts the dependency depth to log2(n)."""
+    while len(terms) > 1:
+        nxt = [a | b for a, b in zip(terms[0::2], terms[1::2])]
+        if len(terms) & 1:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
+
+
 def _grp_read(x, gidx, groups):
     """One-hot read of per-block group indices: out[r] = x[8*gidx[r]+r]."""
-    V = jnp.zeros_like(x[0:8])
-    for g in range(groups):
-        V = V | jnp.where(gidx == g, x[8 * g:8 * g + 8], 0)
-    return V
+    return _ortree([jnp.where(gidx == g, x[8 * g:8 * g + 8], 0)
+                    for g in range(groups)])
 
 
 def _bitonic8(key):
@@ -276,40 +287,55 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref,
             return (lh, ih, it, intw4, active), w, node
 
         def merge_body(s, carry):
-            # leaf depths by ANCESTOR TRACKING: each sorted-leaf row
-            # keeps its current subtree-root node id; when that node
-            # merges, the leaf sits one level deeper. Replaces the
-            # round-3 parent arrays + top-down depth sweep (a second
-            # nmax-long loop that the phase ablation measured at
-            # 0.83 ms — as expensive as the merge itself).
-            lh, ih, it, intw4, anc, leafd = carry
+            # leaf depths by ANCESTOR TRACKING, SWAR-packed 4 leaves
+            # per word (round 5): each sorted-leaf row keeps its
+            # current subtree-root node id; when that node merges, the
+            # leaf sits one level deeper. Node ids <= 126 and depths
+            # <= 63 fit bytes, so the [R, tp] compare/select/add of
+            # round 4 shrinks 4x to [2*rows, tp] byte-lane ops
+            # (inactive sentinel 127 collides with no node id).
+            lh, ih, it, intw4, anc4, leafd4 = carry
             active = it < n_sym - 1
             st = (lh, ih, it, intw4, active)
             st, w1, node1 = pick(st)
             st, w2, node2 = pick(st)
             lh, ih, it, intw4, _ = st
             new_id = 64 + it
-            n1R = _tile_g(jnp.where(active, node1, 999), rows)
-            n2R = _tile_g(jnp.where(active, node2, 999), rows)
-            newR = _tile_g(new_id, rows)
-            m = (anc == n1R) | (anc == n2R)
-            anc = jnp.where(m, newR, anc)
-            leafd = leafd + m.astype(I32)
+            n1x = _tile_g(jnp.where(active, node1, 127) * 0x01010101,
+                          rows4)
+            n2x = _tile_g(jnp.where(active, node2, 127) * 0x01010101,
+                          rows4)
+            x1 = anc4 ^ n1x
+            z1 = ((x1 & 0x7F7F7F7F) + 0x7F7F7F7F) | x1
+            x2 = anc4 ^ n2x
+            z2 = ((x2 & 0x7F7F7F7F) + 0x7F7F7F7F) | x2
+            m80 = (~(z1 & z2)) & jnp.int32(0x80808080 - (1 << 32))
+            inc = _shr_l(m80, 7)             # 0x01 per matched byte
+            bm = inc * 255                   # 0xFF per matched byte
+            newb = _tile_g(new_id * 0x01010101, rows4)
+            anc4 = (anc4 & ~bm) | (newb & bm)
+            leafd4 = leafd4 + inc            # bytes <= 63: no carries
             wsh = _shl(_tile_g(jnp.where(active, w1 + w2, 0), rows4),
                        _tile_g((it & 3) << 3, rows4))
             intw4 = intw4 | jnp.where(ig4 == _tile_g(it >> 2, rows4),
                                       wsh, 0)
             it = it + active.astype(I32)
-            return lh, ih, it, intw4, anc, leafd
+            return lh, ih, it, intw4, anc4, leafd4
 
-        zeroR = jnp.zeros((R, tp), I32)
-        init = (z8, z8, z8, jnp.zeros((8 * rows4, tp), I32), ig, zeroR)
+        # packed byte-iota ancestors: group g4 byte j holds leaf 4g4+j
+        anc0 = (ig4 << 2) * 0x01010101 + 0x03020100
+        init = (z8, z8, z8, jnp.zeros((8 * rows4, tp), I32), anc0,
+                jnp.zeros((8 * rows4, tp), I32))
         if ablate == "merge":
-            lh, ih, it, intw4, anc, leafd = init
+            lh, ih, it, intw4, anc4, leafd4 = init
         else:
-            lh, ih, it, intw4, anc, leafd = jax.lax.fori_loop(
+            lh, ih, it, intw4, anc4, leafd4 = jax.lax.fori_loop(
                 0, nmax - 1, merge_body, init)
 
+        # unpack the byte-packed depths back to one row group per leaf
+        leafd = jnp.concatenate(
+            [_shr_l(leafd4[8 * (g // 4):8 * (g // 4) + 8],
+                    8 * (g % 4)) & 0xFF for g in range(rows)], axis=0)
         leaf_len = jnp.where(n_symR == 1, 1, leafd)   # per sorted-leaf row
 
         # ---- canonical (len, sym) order + Kraft codes -------------------
@@ -348,10 +374,9 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref,
         if ablate == "groups":
             pk = jnp.zeros((R, tp), I32)
         else:
-            pk = jnp.where(lc == 1, _tile_g(rec8[0], rows), 0)
-            for L in range(1, 8):
-                pk = pk | jnp.where(lc == L + 1,
+            pk = _ortree([jnp.where(lc == L + 1,
                                     _tile_g(rec8[L], rows), 0)
+                          for L in range(8)])
         cbR = pk & 0x3FF
         endR = (pk >> 10) & 0x3FF
         fcR = _shr_l(pk, 20)
@@ -405,17 +430,37 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref,
         hi12m = hi12[:mR]
 
         def lut_body(c, carry):
+            # EIGHT canonical records per trip (round 5): the loop is
+            # latency-bound on its carried select chain + per-trip
+            # overhead, not on vector throughput (op-count cuts moved
+            # nothing, halving trips cut the phase 25% — PERF_NOTES
+            # round-5), so trip count is the lever. Tail records past
+            # nmax mask to a key no message carries (-1: live messages
+            # set bit 11); their row reads stay inside the canrec
+            # region because the record index is < 8*ceil(nmax/8)
+            # <= rows of the active tier (tiers are multiples of 8).
+            # Each trip's matches are disjoint (distinct symbols), so
+            # the selects combine as a balanced OR of masked values
+            # onto the carry.
             lc_l, lc_h = carry
-            rec = _tile_g(scr_ref[pl.ds(8 * c, 8), :], mrows // 2)
-            key = rec & 0xFFF
-            lc = rec >> 12
-            lc_l = jnp.where(lo12m == key, lc, lc_l)
-            lc_h = jnp.where(hi12m == key, lc, lc_h)
+            recs = [_tile_g(scr_ref[pl.ds(64 * c + 8 * j, 8), :],
+                            mrows // 2) for j in range(8)]
+            keys = [recs[0] & 0xFFF] + [
+                jnp.where(8 * c + j < nmax, recs[j] & 0xFFF, -1)
+                for j in range(1, 8)]
+            lcs = [r >> 12 for r in recs]
+            lc_l = lc_l | _ortree(
+                [jnp.where(lo12m == keys[j], lcs[j], 0)
+                 for j in range(8)])
+            lc_h = lc_h | _ortree(
+                [jnp.where(hi12m == keys[j], lcs[j], 0)
+                 for j in range(8)])
             return lc_l, lc_h
 
         zm = jnp.zeros((mR, tp), I32)
         lc_l, lc_h = ((zm, zm) if ablate == "lut"
-                      else jax.lax.fori_loop(0, nmax, lut_body, (zm, zm)))
+                      else jax.lax.fori_loop(0, (nmax + 7) // 8,
+                                             lut_body, (zm, zm)))
         l0 = jnp.where(vlo[:mR], lc_l >> 8, 0)
         l1 = jnp.where(vhi[:mR], lc_h >> 8, 0)
         enc_bits = _fold_sum(l0 + l1)                 # [8, TP]
@@ -441,37 +486,34 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref,
     # every tier — reads records back through uniform scr rows) ----------
     # Stream space matches the decoder's (bit-reversed bytes packed
     # big-endian, each word filled MSB-down). Per-block state is one
-    # dense [8, TP] vreg; spills blend into the A file (rows 8w + r =
-    # the decoder's W0 layout) or the continuation file (same rows
-    # 8w + r layout = the decoder's Wc region, consumed verbatim).
-    iota_aw = jax.lax.broadcasted_iota(I32, (64, tp), 0) >> 3
-    iota_cw = jax.lax.broadcasted_iota(I32, (8 * cont, tp), 0) >> 3
+    # dense [8, TP] vreg; spills blend into ONE combined word file
+    # (rows 8w + r: words 0..7 = the decoder's W0 layout, 8.. = its Wc
+    # region) — a single iota compare per append instead of the split
+    # A/C blends of round 4 (one fewer tile_g chain per append).
+    iota_f = jax.lax.broadcasted_iota(I32, (8 * (8 + cont), tp), 0) >> 3
 
     def append(state, v, L):
         """Append the L-bit value v (MSB-first in stream space);
         L may be 0 (no-op) and varies per block."""
-        W0, nb, wi, fA, fC = state
+        W0, nb, wi, fW = state
         v = jnp.where(L > 0, v, 0)
         sh = 32 - nb - L
         W0 = W0 | jnp.where(sh >= 0, _shl(v, jnp.maximum(sh, 0)),
                             _shr_l(v, jnp.maximum(-sh, 0)))
         newnb = nb + L
         spill = newnb >= 32
-        wA = jnp.where(spill & (wi < 8), wi, -1)
-        fA = jnp.where(iota_aw == _tile_g(wA, 8), _tile_g(W0, 8), fA)
-        wC = jnp.where(spill & (wi >= 8), wi - 8, -1)
-        fC = jnp.where(iota_cw == _tile_g(wC, cont),
-                       _tile_g(W0, cont), fC)
+        wS = jnp.where(spill, wi, -1)
+        fW = jnp.where(iota_f == _tile_g(wS, 8 + cont),
+                       _tile_g(W0, 8 + cont), fW)
         W0 = jnp.where(spill, _shl(v, 64 - newnb), W0)
         wi = wi + spill.astype(I32)
         nb = jnp.where(spill, newnb - 32, newnb)
-        return W0, nb, wi, fA, fC
+        return W0, nb, wi, fW
 
-    st = (z8, z8, z8, jnp.zeros((64, tp), I32),
-          jnp.zeros((8 * cont, tp), I32))
+    st = (z8, z8, z8, jnp.zeros((8 * (8 + cont), tp), I32))
     if ablate == "serial":
-        words_ref[...] = st[4]
-        a_ref[...] = st[3]
+        words_ref[...] = st[3][64:]
+        a_ref[...] = st[3][:64]
         size_ref[...] = size
         ok_ref[...] = ok
         return
@@ -497,26 +539,44 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref,
         L = g_start * (pad + 8) + in_r * 11
         return append(st, v, L)
 
-    st = jax.lax.fori_loop(0, nmax, tree_body, st)
+    def tree_body4(t4, st):
+        # four appends per trip (latency-bound loops — PERF_NOTES r5);
+        # tail rows c in [nmax, 4*ceil(nmax/4)) stay inside the written
+        # tree-record region (tier rows are multiples of 4 and
+        # nmax <= rows) and carry in_r = g_start = 0, so their appends
+        # are L = 0 (no-ops)
+        for j in range(4):
+            st = tree_body(4 * t4 + j, st)
+        return st
+
+    st = jax.lax.fori_loop(0, (nmax + 3) // 4, tree_body4, st)
     # close the last group to its byte boundary
-    W0, nb, wi, fA, fC = st
-    st = append((W0, nb, wi, fA, fC), z8, (8 - (nb & 7)) & 7)
+    W0, nb, wi, fW = st
+    st = append((W0, nb, wi, fW), z8, (8 - (nb & 7)) & 7)
+
+    qtrips = (mlenmax + 3) // 4
 
     def pay_body(p, st):
+        # the odd-tail quad row p = qtrips sits at the region boundary
+        # (rows 768/1024) — mask its append to L = 0 instead of
+        # consuming a foreign record
+        live = p < qtrips
         v = scr_ref[pl.ds(512 + 16 * p, 8), :]
-        L = scr_ref[pl.ds(768 + 16 * p, 8), :]
+        L = jnp.where(live, scr_ref[pl.ds(768 + 16 * p, 8), :], 0)
         return append(st, v, L)
 
-    st = jax.lax.fori_loop(0, (mlenmax + 3) // 4, pay_body, st)
-    W0, nb, wi, fA, fC = st
+    def pay_body4(p4, st):
+        for j in range(4):
+            st = pay_body(4 * p4 + j, st)
+        return st
+
+    st = jax.lax.fori_loop(0, (qtrips + 3) // 4, pay_body4, st)
+    W0, nb, wi, fW = st
     # final flush of the partial word
-    wA = jnp.where(wi < 8, wi, -1)
-    fA = jnp.where(iota_aw == _tile_g(wA, 8), _tile_g(W0, 8), fA)
-    wC = jnp.where(wi >= 8, wi - 8, -1)
-    fC = jnp.where(iota_cw == _tile_g(wC, cont),
-                   _tile_g(W0, cont), fC)
-    words_ref[...] = fC
-    a_ref[...] = fA
+    fW = jnp.where(iota_f == _tile_g(wi, 8 + cont),
+                   _tile_g(W0, 8 + cont), fW)
+    words_ref[...] = fW[64:]
+    a_ref[...] = fW[:64]
     size_ref[...] = size
     ok_ref[...] = ok
 

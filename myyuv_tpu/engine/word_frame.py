@@ -114,9 +114,15 @@ def frame_to_bgrx(xw: jnp.ndarray, h: int, w: int):
     conversion — the inverse direction needs FOUR byte-selection dots
     where the forward needs two weighted ones, doubling the MXU work
     past the bitcast saving. Preview therefore keeps the byte route
-    (ingest keeps the value route: 1.019 vs 1.218 ms)."""
+    (ingest keeps the value route: 1.019 vs 1.218 ms).
+
+    The barrier between the two halves is load-bearing: fused into one
+    module without it, XLA merges the unpack relayout with the
+    conversion's channel math and the chain regressed 1.0 -> 8.5 ms
+    (round-5 shakedown bench; same pathology as kernels/device.unfuse)."""
     from ..kernels import device as kdev
     y, u, v = unpack_frame(xw, h, w)
+    y, u, v = jax.lax.optimization_barrier((y, u, v))
     return kdev.iyuv_to_bgrx(y, u, v)
 
 

@@ -200,6 +200,130 @@ def roundtrip_words(xw: jnp.ndarray, qt_y, qt_u, qt_v, h: int, w: int,
     return rxw, total, ok & dok
 
 
+# ---------------------------------------------------------------------------
+# Sharded word-contract codec: lane columns over the device mesh
+# ---------------------------------------------------------------------------
+#
+# The word layout makes sharding trivial: splitting xw's lane COLUMNS
+# over the mesh gives every device a contiguous block range (block
+# b = c*8 + r), so each shard body is just the fused kernels on its
+# slab — no per-device pack/unpack (the plane-row sharding of
+# engine/sharded_stream pays both), and assembly is concatenation in
+# mesh order = the global stream order. The TPU-native generalization
+# of the reference's OpenMP block loop (DCT.cpp:294-296) on the
+# word contract.
+
+
+def pad_frame_cols(xw: jnp.ndarray, n_dev: int,
+                   tile: int | None = None) -> jnp.ndarray:
+    """Right-pad a word frame's columns to a multiple of
+    n_dev * encoder-tile so every device's slab is tile-aligned (pad
+    columns are zero blocks = valid ignorable chunks)."""
+    from ..entropy import pallas_encode8 as pe8
+    t = (tile or pe8.TP) * n_dev
+    pad = (-xw.shape[1]) % t
+    if pad:
+        xw = jnp.concatenate(
+            [xw, jnp.zeros((128, pad), jnp.int32)], axis=1)
+    return xw
+
+
+_WORD_SHARDED_CACHE = {}
+
+
+def _word_sharded(mesh, h: int, w: int, ntps: int, cont: int,
+                  interpret: bool, tile: int | None):
+    """(compress, decompress) shard_map jits for an ntps-column frame
+    (cached per geometry — shard_map closures retrace per call)."""
+    key = (id(mesh), h, w, ntps, cont, interpret, tile)
+    if key in _WORD_SHARDED_CACHE:
+        return _WORD_SHARDED_CACHE[key]
+    from jax.sharding import PartitionSpec as P
+    from ..entropy import pallas_encode8 as pe8
+    from ..entropy import pallas_decode8 as pd8
+    from ..parallel import mesh as meshlib
+    axes = (meshlib.DATA_AXIS, meshlib.BLOCK_AXIS)
+    shc = P(None, axes)
+    shs = P(axes)
+    rep = P()
+
+    def cbody(xw_l, qtx, pids_l):
+        C, A, sizes, ok = pe8.dct_encode_words_packed(
+            xw_l, qtx, pids_l, cont=cont, interpret=interpret,
+            tile=tile)
+        return A, C, sizes, ok.astype(jnp.int32)
+
+    def dbody(A_l, C_l, qtx, pids_l):
+        xw_l, ok = pd8.decode_idct_words8_split(
+            A_l, C_l, qtx, pids_l, interpret=interpret, tile=tile)
+        return xw_l, ok.astype(jnp.int32)
+
+    compress = jax.jit(jax.shard_map(
+        cbody, mesh=mesh, check_vma=False,
+        in_specs=(shc, rep, shc), out_specs=(shc, shc, shs, shs)))
+    decompress = jax.jit(jax.shard_map(
+        dbody, mesh=mesh, check_vma=False,
+        in_specs=(shc, shc, rep, shc), out_specs=(shc, shs)))
+    _WORD_SHARDED_CACHE[key] = (compress, decompress)
+    return compress, decompress
+
+
+def _pids_sharded(h, w, ntps):
+    ny8, nc8, _ = frame_cols(h, w, 1)
+    return p8.plane_pids(8 * ny8, 8 * nc8, ntps - ny8 - 2 * nc8)
+
+
+def compress_words_sharded(mesh, xw: jnp.ndarray, qt_y, qt_u, qt_v,
+                           h: int, w: int, cont: int = ds.CONT_DEFAULT,
+                           interpret: bool = False,
+                           tile: int | None = None):
+    """Sharded word-contract compress: xw [128, NTPS] (pad_frame_cols
+    geometry) -> (A, C, sizes[:n live], total, ok) — byte-identical
+    chunks to the single-device compress_words."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel import mesh as meshlib
+    axes = (meshlib.DATA_AXIS, meshlib.BLOCK_AXIS)
+    ntps = xw.shape[1]
+    ny8, nc8, _ = frame_cols(h, w, 1)
+    n = 8 * (ny8 + 2 * nc8)
+    qtx = p8.expand_qtables((qt_y, qt_u, qt_v))
+    pids = jax.device_put(
+        _pids_sharded(h, w, ntps),
+        NamedSharding(mesh, P(None, axes)))
+    compress, _ = _word_sharded(mesh, h, w, ntps, cont, interpret,
+                                tile)
+    with mesh:
+        A, C, sizes, ok = compress(xw, qtx, pids)
+    sizes = sizes[:n]
+    return A, C, sizes, jnp.sum(sizes), jnp.all(ok[:n] != 0)
+
+
+def decompress_words_sharded(mesh, A: jnp.ndarray, C: jnp.ndarray,
+                             sizes: jnp.ndarray, qt_y, qt_u, qt_v,
+                             h: int, w: int, interpret: bool = False,
+                             tile: int | None = None):
+    """Sharded word-contract decompress -> (xw [128, NTPS], ok)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel import mesh as meshlib
+    axes = (meshlib.DATA_AXIS, meshlib.BLOCK_AXIS)
+    ntps = A.shape[1]
+    ny8, nc8, _ = frame_cols(h, w, 1)
+    n = 8 * (ny8 + 2 * nc8)
+    qtx = p8.expand_qtables((qt_y, qt_u, qt_v))
+    pids = jax.device_put(
+        _pids_sharded(h, w, ntps),
+        NamedSharding(mesh, P(None, axes)))
+    _, decompress = _word_sharded(
+        mesh, h, w, ntps, 8 * (C.shape[0] // 64), interpret, tile)
+    with mesh:
+        xw, ok = decompress(A, C, qtx, pids)
+    sizes = sizes.astype(jnp.int32)
+    cw = 8 + C.shape[0] // 8
+    cwrows = (sizes + 4 * ds.ALIGN_W - 1) // (4 * ds.ALIGN_W)
+    return xw, (jnp.all(ok[:n] != 0)
+                & jnp.all(cwrows <= cw // ds.ALIGN_W))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("h", "w", "cont", "interpret",
                                     "tile"))

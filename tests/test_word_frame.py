@@ -169,6 +169,42 @@ def test_word_conversions_match_plane_path(rng):
     assert np.array_equal(np.asarray(got), np.asarray(wantpx))
 
 
+def test_sharded_word_codec_byte_identical(rng):
+    """Column-sharding the word frame over an 8-device mesh: per-device
+    fused kernels, assembly = concatenation — interchange and
+    roundtrip byte/pixel-identical to the single-device word path."""
+    import jax
+    from myyuv_tpu.parallel import mesh as meshlib
+
+    devs = jax.devices("cpu")[:8]
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = meshlib.make_mesh((2, 4), devs)
+    y, u, v = _frame(rng)
+    qts = eb.plane_qtables([50] * 3)
+    xw = wf.pack_frame(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                       tile=TILE)
+    xws = wf.pad_frame_cols(xw, 8, tile=TILE)
+    A, C, sizes, total, ok = wf.compress_words_sharded(
+        mesh, xws, *qts, h=H, w=W, interpret=True, tile=TILE)
+    assert bool(ok)
+    rA, rC, rsizes, rtotal, rok = wf.compress_words(
+        xw, *qts, h=H, w=W, interpret=True, tile=TILE)
+    assert bool(rok) and int(total) == int(rtotal)
+    assert np.array_equal(np.asarray(sizes), np.asarray(rsizes))
+    n8 = (np.asarray(rsizes).size + 7) // 8
+    assert np.array_equal(np.asarray(A)[:, :n8], np.asarray(rA)[:, :n8])
+    assert np.array_equal(np.asarray(C)[:, :n8], np.asarray(rC)[:, :n8])
+    rxw, dok = wf.decompress_words_sharded(
+        mesh, A, C, sizes, *qts, h=H, w=W, interpret=True, tile=TILE)
+    assert bool(dok)
+    ry, ru, rv = wf.unpack_frame(rxw, H, W)
+    wy, wu, wv = _scalar_roundtrip([y, u, v])
+    assert np.array_equal(np.asarray(ry), wy)
+    assert np.array_equal(np.asarray(ru), wu)
+    assert np.array_equal(np.asarray(rv), wv)
+
+
 def test_compress_words_overflow_flags(rng):
     """Noise at q100 overflows the default tier: ok must go False, and
     the roomy tier must recover byte-identical streams."""

@@ -71,16 +71,49 @@ def main():
     print("sharded decompress pixels == host scalar:", pixels_equal,
           flush=True)
 
+    # 3. sharded WORD-CONTRACT codec (column sharding, round 5):
+    # interchange + roundtrip identical to the single-device word path
+    import jax.numpy as jnp
+    from myyuv_tpu.engine import word_frame as wf
+    dev = [jnp.asarray(p) for p in planes]
+    xw = wf.pack_frame(*dev)
+    xws = wf.pad_frame_cols(xw, mesh.devices.size)
+    A, C, sizes, total, ok = wf.compress_words_sharded(
+        mesh, xws, *[jnp.asarray(q) for q in qts], h=h, w=w)
+    rA, rC, rsizes, rtotal, rok = wf.compress_words(
+        xw, *[jnp.asarray(q) for q in qts], h=h, w=w)
+    n8 = (np.asarray(rsizes).size + 7) // 8
+    words_equal = (bool(ok) and bool(rok)
+                   and int(total) == int(rtotal)
+                   and np.array_equal(np.asarray(sizes),
+                                      np.asarray(rsizes))
+                   and np.array_equal(np.asarray(A)[:, :n8],
+                                      np.asarray(rA)[:, :n8])
+                   and np.array_equal(np.asarray(C)[:, :n8],
+                                      np.asarray(rC)[:, :n8]))
+    rxw, dok = wf.decompress_words_sharded(
+        mesh, A, C, sizes, *[jnp.asarray(q) for q in qts], h=h, w=w)
+    ry2, ru2, rv2 = wf.unpack_frame(rxw, h, w)
+    rpy, _rpu, _rpv, pok = ds.decompress_frame(
+        rA, rC, rsizes, *[jnp.asarray(q) for q in qts], h=h, w=w)
+    words_px_equal = (bool(dok) and bool(pok) and np.array_equal(
+        np.asarray(ry2), np.asarray(rpy)))
+    print("sharded word-contract bytes+pixels == single-device:",
+          words_equal and words_px_equal, flush=True)
+
     out = {"mesh": [1, 1], "device": str(jax.devices()[0]),
            "packed_pallas_kernels": True,
            "compress_bytes_equal": bool(bytes_equal),
-           "decompress_pixels_equal": bool(pixels_equal)}
+           "decompress_pixels_equal": bool(pixels_equal),
+           "word_contract_sharded_equal": bool(
+               words_equal and words_px_equal)}
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SHARDED_TPU.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
-    return 0 if bytes_equal and pixels_equal else 1
+    return 0 if (bytes_equal and pixels_equal
+                 and words_equal and words_px_equal) else 1
 
 
 if __name__ == "__main__":

@@ -61,8 +61,12 @@ CONT_ROOMY = 56
 CONT_LADDER = (CONT_DEFAULT, CONT_Q90, CONT_MID, CONT_ROOMY)
 # one-kernel decompress (tree+payload+IDCT fused, tree tables in VMEM
 # scratch — entropy/pallas_decode8._fused_decode_idct_kernel8) vs the
-# two-kernel pipeline; byte-identical, selectable for measurement
-DEC8_FUSED = os.environ.get("MYYUV_DEC8_FUSED", "0") == "1"
+# two-kernel pipeline; byte-identical, selectable for measurement.
+# Default FUSED since round 5: with the latency-bound loop work done,
+# the single kernel measures 1.120 vs 1.142 ms on the golden 4K (the
+# per-kernel prologue is no longer hidden); both variants stay covered
+# by tools/check_tpu_frame.py at q50+q90
+DEC8_FUSED = os.environ.get("MYYUV_DEC8_FUSED", "1") == "1"
 # quality at or above which streams are expected to exceed the 64-byte
 # default tier (golden 4K: max chunk 58 B at q70, 71 B at q90) — callers
 # that know the quality start the ladder higher (cont_for_quality)

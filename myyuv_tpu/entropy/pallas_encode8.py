@@ -273,18 +273,39 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref,
             return _shr_l(_grp_read(x4, idx >> 2, rows4),
                           (idx & 3) << 3) & 0xFF
 
-        def pick(state):
-            lh, ih, it, intw4, active = state
-            lw = qread(leafw4, lh)
-            iw = qread(intw4, ih)
-            leaf_has = lh < n_sym
-            int_has = ih < it
-            take_leaf = leaf_has & (~int_has | (lw <= iw))
-            w = jnp.where(take_leaf, lw, iw)
-            node = jnp.where(take_leaf, lh, 64 + ih)
-            lh = lh + (take_leaf & active).astype(I32)
-            ih = ih + (~take_leaf & active).astype(I32)
-            return (lh, ih, it, intw4, active), w, node
+        def pick2(lh, ih, it, intw4, active):
+            """BOTH queue picks of one merge step with their four
+            candidate heads read in PARALLEL (round 5): the sequential
+            pick pair serialized two one-hot reads behind each other —
+            the latency chain, not the op count, is what these loops
+            pay for. Sentinel 0x3FF outranks every real weight
+            (<= 64); the empty-empty case only arises when inactive,
+            where every consumer is masked. Tie-breaking (leaf wins
+            equals) is a1 <= b1 — identical to the sequential
+            ``leaf_has & (~int_has | (lw <= iw))``."""
+            la = qread(leafw4, lh)
+            lb = qread(leafw4, lh + 1)
+            ia = qread(intw4, ih)
+            ib = qread(intw4, ih + 1)
+            a1 = jnp.where(lh < n_sym, la, 0x3FF)
+            a2 = jnp.where(lh + 1 < n_sym, lb, 0x3FF)
+            b1 = jnp.where(ih < it, ia, 0x3FF)
+            b2 = jnp.where(ih + 1 < it, ib, 0x3FF)
+            t1 = a1 <= b1
+            w1 = jnp.minimum(a1, b1)
+            node1 = jnp.where(t1, lh, 64 + ih)
+            a_next = jnp.where(t1, a2, a1)
+            b_next = jnp.where(t1, b1, b2)
+            t2 = a_next <= b_next
+            w2 = jnp.minimum(a_next, b_next)
+            node2 = jnp.where(
+                t2, jnp.where(t1, lh + 1, lh),
+                64 + jnp.where(t1, ih, ih + 1))
+            nl = (t1.astype(I32) + t2.astype(I32)) \
+                * active.astype(I32)
+            lh = lh + nl
+            ih = ih + 2 * active.astype(I32) - nl
+            return lh, ih, w1, w2, node1, node2
 
         def merge_body(s, carry):
             # leaf depths by ANCESTOR TRACKING, SWAR-packed 4 leaves
@@ -296,10 +317,8 @@ def _encode_body(pw, words_ref, a_ref, size_ref, ok_ref, scr_ref,
             # (inactive sentinel 127 collides with no node id).
             lh, ih, it, intw4, anc4, leafd4 = carry
             active = it < n_sym - 1
-            st = (lh, ih, it, intw4, active)
-            st, w1, node1 = pick(st)
-            st, w2, node2 = pick(st)
-            lh, ih, it, intw4, _ = st
+            lh, ih, w1, w2, node1, node2 = pick2(lh, ih, it, intw4,
+                                                 active)
             new_id = 64 + it
             n1x = _tile_g(jnp.where(active, node1, 127) * 0x01010101,
                           rows4)

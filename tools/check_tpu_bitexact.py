@@ -102,6 +102,83 @@ def main():
           "PASS" if ok else "FAIL — restore the runtime-zero defeat!")
     fails += 0 if ok else 1
 
+    # PRODUCTION-kernel contraction probe (round 5, ADVICE r4):
+    # contraction decisions can be context-dependent (register
+    # pressure, scheduling), so ALSO probe the real word kernel with
+    # content whose double-rounded vs fma-contracted QUANTIZED
+    # coefficients provably differ (float64 emulation of per-step
+    # fma); if Mosaic ever contracts inside the production body, this
+    # mismatches the scalar oracle loudly.
+    from myyuv_tpu.kernels import pallas_dct8 as p8
+    from myyuv_tpu.entropy.reference import ZIGZAG
+
+    qt50 = np.asarray(scalar.plane_qtable(0, 50), np.float32)
+    C = np.asarray(DCT_MATRIX8, np.float32)
+
+    def fma_quantize(blocks):
+        x = blocks.astype(np.float32) - np.float32(128)
+
+        def fma_mm(a_const, b):
+            # acc = fma(a0, b0, 0); acc = fma(ak, bk, acc): one
+            # rounding per step (f64 product+add is exact enough for a
+            # probe)
+            acc = np.float32(np.float64(a_const[:, 0:1])
+                             * np.float64(b[:, 0:1, :]))
+            for k in range(1, 8):
+                acc = np.float32(
+                    np.float64(a_const[:, k:k + 1])
+                    * np.float64(b[:, k:k + 1, :])
+                    + np.float64(acc))
+            return acc
+
+        t = fma_mm(C, x)
+        coef = np.transpose(fma_mm(C, np.transpose(t, (0, 2, 1))),
+                            (0, 2, 1))
+        qv = np.float32(coef / qt50[None])
+        r = np.trunc(qv)
+        f = qv - r
+        bump = np.where(np.abs(f) >= np.float32(0.5), np.sign(qv), 0)
+        return (r + bump).astype(np.int16)
+
+    rng3 = np.random.default_rng(11)
+    probe = None
+    for _ in range(8):
+        cand = rng3.integers(0, 256, (8192, 8, 8), np.uint8)
+        w_oracle = scalar.dct_quantize_blocks(cand, qt50)
+        w_fma = fma_quantize(cand)
+        diff = (w_oracle != w_fma).any(axis=(1, 2))
+        if diff.any():
+            probe = cand[diff][:1024]
+            break
+    if probe is None:
+        print("production-kernel contraction probe: SKIP "
+              "(no divergent content found)")
+    else:
+        n = 1024
+        reps = -(-n // probe.shape[0])
+        blocks_p = np.tile(probe, (reps, 1, 1))[:n]
+        plane = scalar.blocks_to_plane(blocks_p, 64, 1024)
+        xw = p8.pack_pixel_words(jnp.asarray(plane))
+        qtx = p8.expand_qtables([jnp.asarray(qt50)] * 3)
+        pids = jnp.zeros((1, n // 8), jnp.int32)
+        out = np.asarray(p8.dct_quantize_words(xw, qtx, pids,
+                                               tile=n // 8))
+        lo = ((out << 16) >> 16).astype(np.int16)
+        hi = (out >> 16).astype(np.int16)
+        got = np.zeros((n, 64), np.int16)
+        for p_ in range(32):
+            got[:, 2 * p_] = lo[8 * p_:8 * p_ + 8].T.reshape(n)
+            got[:, 2 * p_ + 1] = hi[8 * p_:8 * p_ + 8].T.reshape(n)
+        zz = np.asarray(ZIGZAG)
+        want_p = scalar.dct_quantize_blocks(blocks_p, qt50)
+        want_msg = want_p.reshape(n, 64)[:, zz]
+        okp = np.array_equal(got, want_msg)
+        print(f"production-kernel contraction probe "
+              f"({probe.shape[0]} divergent blocks):",
+              "PASS" if okp else "FAIL — restore the runtime-zero "
+              "defeat in pallas_dct8!")
+        fails += 0 if okp else 1
+
     print("TPU BIT-EXACT:", "ALL PASS" if fails == 0 else f"{fails} FAILURES")
     return 0 if fails == 0 else 1
 

@@ -205,6 +205,31 @@ def test_sharded_word_codec_byte_identical(rng):
     assert np.array_equal(np.asarray(rv), wv)
 
 
+def test_decompress_words_corrupt_stream_flags(rng):
+    """Corrupt interchange words must flip the word-contract decoder's
+    ok flag (failure-detection parity with the plane contract), never
+    produce silently wrong pixels."""
+    y, u, v = _frame(rng)
+    qts = eb.plane_qtables([50] * 3)
+    xw = wf.pack_frame(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                       tile=TILE)
+    A, C, sizes, _, ok = wf.compress_words(
+        xw, *qts, h=H, w=W, interpret=True, tile=TILE)
+    assert bool(ok)
+    # stomp chunk 0's tree section: an impossible code-length group
+    badA = np.asarray(A).copy()
+    badA[0, 0] = badA[0, 0] ^ 0x00FFFF00
+    _, dok = wf.decompress_words(jnp.asarray(badA), C, sizes, *qts,
+                                 h=H, w=W, interpret=True, tile=TILE)
+    assert not bool(dok)
+    # oversized sizes (beyond the window) must also flag
+    bad_sizes = np.asarray(sizes).copy()
+    bad_sizes[0] = 255
+    _, dok2 = wf.decompress_words(A, C, jnp.asarray(bad_sizes), *qts,
+                                  h=H, w=W, interpret=True, tile=TILE)
+    assert not bool(dok2)
+
+
 def test_compress_words_overflow_flags(rng):
     """Noise at q100 overflows the default tier: ok must go False, and
     the roomy tier must recover byte-identical streams."""

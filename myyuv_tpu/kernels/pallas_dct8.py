@@ -609,6 +609,13 @@ def _unpack2_val_mxu(xw: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
     return v.reshape(ph, pw)
 
 
+# Negative result (round 5, kept so nobody retries it): a HALFWORD
+# unpack route — pixel-PAIR dots at half output width (half the MXU
+# FLOPs) + one u16 -> u8 bitcast split — is exact but SLOWER than the
+# byte route: 0.661 vs 0.325 ms/4K luma and 1.07 vs 0.222 chroma (the
+# sub-32-bit bitcast repack and narrow dots eat the FLOP saving).
+
+
 def pack_value_words(vals: jnp.ndarray) -> jnp.ndarray:
     """[H, W] i32 pixel VALUES (0..255) -> [128, N/8] i32 pixel quad
     words (same output as pack_pixel_words on the u8 plane) without the

@@ -73,8 +73,12 @@ def images_dir():
     return IMAGES
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture
 def rng():
+    """Function-scoped: every test sees the SAME deterministic stream
+    regardless of which tests ran before (the session-scoped generator
+    made test content depend on file ordering — two decode8 tests
+    failed under a reordered run purely through content luck)."""
     return np.random.default_rng(0x1F1F)
 
 

@@ -260,12 +260,12 @@ def sustained_word_pipeline_fps(planes_np, qtables, n_frames: int = 112,
                                                cont=cont)
 
     def ingest(nf):
+        # ONE executable per frame (bgrx_to_frame + compress fused)
         oks = []
         t0 = time.perf_counter()
         for _ in range(nf):
-            xw = wf.bgrx_to_frame(px)
-            _A, _C, _s, _t, ok = wf.compress_words(
-                xw, *qtables, h=h, w=w, cont=cont)
+            _A, _C, _s, _t, ok = wf.ingest_frame(
+                px, *qtables, h=h, w=w, cont=cont)
             oks.append(ok)
         okc = _stack_chunks(oks)
         for c in okc:
@@ -274,12 +274,11 @@ def sustained_word_pipeline_fps(planes_np, qtables, n_frames: int = 112,
         return ok_np, time.perf_counter() - t0
 
     def preview(nf):
+        # ONE executable per frame (decompress + frame_to_bgrx fused)
         oks = []
         t0 = time.perf_counter()
         for _ in range(nf):
-            fr, ok = wf.decompress_words(A, C, sizes, *qtables,
-                                         h=h, w=w)
-            _px = wf.frame_to_bgrx(fr, h, w)
+            _px, ok = wf.preview_frame(A, C, sizes, *qtables, h=h, w=w)
             oks.append(ok)
         okc = _stack_chunks(oks)
         for c in okc:

@@ -200,6 +200,36 @@ def roundtrip_words(xw: jnp.ndarray, qt_y, qt_u, qt_v, h: int, w: int,
     return rxw, total, ok & dok
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "cont", "interpret",
+                                    "tile"))
+def ingest_frame(pixels: jnp.ndarray, qt_y, qt_u, qt_v, h: int, w: int,
+                 cont: int = ds.CONT_DEFAULT, interpret: bool = False,
+                 tile: int | None = None):
+    """BGRX pixels -> interchange in ONE executable (bgrx_to_frame +
+    compress_words fused): the capture pipeline's per-frame dispatch."""
+    xw = bgrx_to_frame(pixels, tile=tile)
+    return compress_words(xw, qt_y, qt_u, qt_v, h=h, w=w, cont=cont,
+                          interpret=interpret, tile=tile)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "fused", "interpret",
+                                    "tile"))
+def preview_frame(contentA: jnp.ndarray, contentC: jnp.ndarray,
+                  sizes: jnp.ndarray, qt_y, qt_u, qt_v, h: int, w: int,
+                  fused: bool | None = None, interpret: bool = False,
+                  tile: int | None = None):
+    """Interchange -> BGRX preview in ONE executable (decompress_words
+    + frame_to_bgrx fused; the unpack/convert barrier inside
+    frame_to_bgrx is preserved): the playback pipeline's per-frame
+    dispatch. Returns (bgrx, ok)."""
+    xw, ok = decompress_words(contentA, contentC, sizes,
+                              qt_y, qt_u, qt_v, h=h, w=w, fused=fused,
+                              interpret=interpret, tile=tile)
+    return frame_to_bgrx(xw, h, w), ok
+
+
 # ---------------------------------------------------------------------------
 # Sharded word-contract codec: lane columns over the device mesh
 # ---------------------------------------------------------------------------

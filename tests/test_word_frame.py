@@ -205,6 +205,32 @@ def test_sharded_word_codec_byte_identical(rng):
     assert np.array_equal(np.asarray(rv), wv)
 
 
+def test_ingest_preview_single_dispatch_match(rng):
+    """The one-executable ingest/preview entries equal their two-step
+    chains exactly."""
+    from myyuv_tpu.kernels import device as kdev
+    bgrx = rng.integers(0, 256, (H, W, 4), np.uint8)
+    bgrx[..., 3] = 0
+    bdev = jnp.asarray(bgrx)
+    qts = eb.plane_qtables([50] * 3)
+    A1, C1, s1, t1, ok1 = wf.ingest_frame(bdev, *qts, h=H, w=W,
+                                          interpret=True, tile=TILE)
+    xw = wf.bgrx_to_frame(bdev, tile=TILE)
+    A2, C2, s2, t2, ok2 = wf.compress_words(xw, *qts, h=H, w=W,
+                                            interpret=True, tile=TILE)
+    assert bool(ok1) == bool(ok2) and int(t1) == int(t2)
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+    assert np.array_equal(np.asarray(A1), np.asarray(A2))
+    assert np.array_equal(np.asarray(C1), np.asarray(C2))
+    px1, dok1 = wf.preview_frame(A1, C1, s1, *qts, h=H, w=W,
+                                 interpret=True, tile=TILE)
+    fr, dok2 = wf.decompress_words(A1, C1, s1, *qts, h=H, w=W,
+                                   interpret=True, tile=TILE)
+    px2 = wf.frame_to_bgrx(fr, H, W)
+    assert bool(dok1) and bool(dok2)
+    assert np.array_equal(np.asarray(px1), np.asarray(px2))
+
+
 def test_decompress_words_corrupt_stream_flags(rng):
     """Corrupt interchange words must flip the word-contract decoder's
     ok flag (failure-detection parity with the plane contract), never
